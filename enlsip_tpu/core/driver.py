@@ -1,0 +1,339 @@
+"""The ENLSIP-TPU solver driver: one jitted iteration body inside a
+single ``lax.while_loop`` plus a thin chunked host loop for wall-clock
+time limits.
+
+Reference: /root/reference/src/enlsip_functions.jl
+  WRKSET :686-795 (orchestrated in :func:`_working_set_round`),
+  driver ``enlsip`` :2638-2880.
+
+Design notes (TPU-first re-architecture, not a port):
+
+* The reference unrolls the first iteration (:2670-2772); here the loop
+  body is uniform and the first-iteration special cases are encoded in
+  the initial carry (see :func:`init_carry` — the analysis in each
+  field's comment shows the seeded values reproduce the unrolled
+  behavior exactly).
+* The reference's WRKSET deletes a constraint suggested by the
+  first-order multipliers, recomputes the GN direction on the reduced
+  set, applies a feasible-direction test that — in the mounted source —
+  is constant-false (``As_p = (rankA <= W.t ? 0.0 : ...)`` at :728 with
+  rankA <= t-1 = W.t always), re-adds the constraint and recomputes on
+  the original set.  The only lasting effects are ``del = false`` and
+  ``index_del = 0`` (:737-738); we apply those directly and skip the
+  dead factorizations.  Actual deletions flow through the second-order
+  multiplier estimate (:745-764, :773-790), which is fully implemented.
+* Every iteration runs exactly one factorization round in the common
+  case and a second one under ``lax.cond`` when the second-order
+  estimate deletes a constraint.
+"""
+
+from __future__ import annotations
+
+import time
+from functools import partial
+from typing import Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from .direction import AnalysResult, search_direction_analysis
+from .linesearch import compute_steplength
+from .subproblem import (ActiveConstraint, FactorA, FactorL11, GNResult,
+                         factor_active, factor_l11, first_mult_estimate,
+                         gather_active, gn_search_direction,
+                         second_mult_estimate)
+from .termination import check_termination
+from .types import (Carry, Counters, Dims, Options, PrevIter, Tols,
+                    WorkingView, working_view)
+from .working_set import (check_constraint_deletion,
+                          evaluate_violated_constraints, init_working_set,
+                          minmax_lagrangian_mult)
+
+
+class Functions(NamedTuple):
+    """Traced user callables (jacobians resolved by the models layer)."""
+
+    res: Callable
+    jac_res: Callable
+    cons: Callable
+    jac_cons: Callable
+
+
+def new_point(fns: Functions, x, counters: Counters):
+    """new_point! (:34-52): evaluate r, J, c, A (4 evaluations)."""
+    rx = fns.res(x)
+    J = fns.jac_res(x)
+    cx = fns.cons(x)
+    A = fns.jac_cons(x)
+    counters = Counters(nb_res=counters.nb_res + 1,
+                        nb_jacres=counters.nb_jacres + 1,
+                        nb_cons=counters.nb_cons + 1,
+                        nb_jaccons=counters.nb_jaccons + 1)
+    return rx, J, cx, A, counters
+
+
+class WorkingSetRound(NamedTuple):
+    mask: jax.Array
+    view: WorkingView
+    t: jax.Array
+    act: ActiveConstraint
+    F_A: FactorA
+    F_L11: FactorL11
+    gn: GNResult
+    lam: jax.Array
+    grad_res: jax.Array
+    deleted: jax.Array
+    index_del: jax.Array
+
+
+def _factor_and_gn(mask, A, cx, rx, J, gf, dims: Dims, scaling: bool,
+                   eps_rank):
+    """One full factorization round: gather/scale -> F_A -> F_L11 -> GN."""
+    view = working_view(mask)
+    t = view.t
+    act = gather_active(A, cx, view, dims, scaling)
+    F_A = factor_active(act, gf, dims)
+    from ..ops.qr import pseudo_rank
+    rankA = pseudo_rank(F_A.diag, t, eps_rank)
+    F_L11 = factor_l11(F_A, act, t)
+    gn = gn_search_direction(J, rx, act, F_A, F_L11, rankA, t, eps_rank, dims)
+    return view, t, act, F_A, F_L11, gn
+
+
+def _working_set_round(mask, A, cx, rx, J, gf, index_del_in, dims: Dims,
+                       opts: Options, eps_rank) -> WorkingSetRound:
+    """WRKSET (:686-795), see module docstring for the branch analysis."""
+    scaling = opts.scaling
+    view, t, act, F_A, F_L11, gn = _factor_and_gn(
+        mask, A, cx, rx, J, gf, dims, scaling, eps_rank)
+    lam, grad_res = first_mult_estimate(F_A, act, t, dims, scaling, eps_rank)
+    s = check_constraint_deletion(dims.q, lam, act.valid, t, scaling,
+                                  act.diag_scale, grad_res)
+    # Lasting effect of the (always rolled back) first-order deletion
+    # detour: del := false, index_del := 0 (:737-738).
+    index_del = jnp.where(s >= 0, jnp.int32(-1), index_del_in)
+
+    # Second-order estimate round (:745-764, :773-790): only when the
+    # factorizations are full-rank.
+    kmax2 = min(dims.m, dims.n)
+    full_rank = (t == gn.rankA) & (gn.rankJ2 == jnp.minimum(dims.m, dims.n - gn.rankA))
+    lam2 = second_mult_estimate(F_A, gn.JQ1, rx, J, gn.p, t, act, dims,
+                                scaling)
+    lam_sel = jnp.where(full_rank, lam2, lam)
+    s2 = check_constraint_deletion(dims.q, lam2, act.valid, t, scaling,
+                                   act.diag_scale, jnp.asarray(0.0, rx.dtype))
+    do2 = full_rank & (s2 >= 0)
+
+    def round2(_):
+        s2c = jnp.maximum(s2, 0)
+        gidx = view.active_list[s2c]
+        mask2 = mask.at[gidx].set(False)
+        view2, t2, act2, F_A2, F_L11_2, gn2 = _factor_and_gn(
+            mask2, A, cx, rx, J, gf, dims, scaling, eps_rank)
+        # Compact lam2: new slot j maps to old slot j (+1 past s2).
+        tmax = dims.tmax
+        j = jnp.arange(tmax)
+        lam_c = jnp.where(j < s2c, lam2[j], lam2[jnp.minimum(j + 1, tmax - 1)])
+        lam_c = jnp.where(act2.valid, lam_c, 0.0)
+        return (mask2, view2, t2, act2, F_A2, F_L11_2, gn2, lam_c,
+                jnp.asarray(True), gidx.astype(jnp.int32))
+
+    def keep(_):
+        return (mask, view, t, act, F_A, F_L11, gn, lam_sel,
+                jnp.asarray(False), index_del)
+
+    (mask_o, view_o, t_o, act_o, F_A_o, F_L11_o, gn_o, lam_o, deleted,
+     index_del_o) = lax.cond(do2, round2, keep, None)
+    return WorkingSetRound(mask=mask_o, view=view_o, t=t_o, act=act_o,
+                           F_A=F_A_o, F_L11=F_L11_o, gn=gn_o, lam=lam_o,
+                           grad_res=grad_res, deleted=deleted,
+                           index_del=index_del_o)
+
+
+def init_carry(fns: Functions, x0, dims: Dims, opts: Options,
+               dtype) -> Carry:
+    """Seed the carry so the uniform loop body reproduces the reference's
+    unrolled first iteration (:2670-2772).  The previous-iteration
+    snapshot fields only need the values the first body actually reads:
+    alpha = 1.0 (:2674), beta = 0, code = 1, w = INIALC weights,
+    progress = predicted_reduction = 0, x = x0."""
+    x0 = jnp.asarray(x0, dtype)
+    counters = Counters.zeros()
+    rx, J, cx, A, counters = new_point(fns, x0, counters)
+    mask, w0, K = init_working_set(cx, dims)
+    gf = J.T @ rx
+    prev = PrevIter(
+        x=x0, rx_sum=jnp.dot(rx, rx), cx_sum=jnp.dot(cx, cx),
+        t=jnp.sum(mask).astype(jnp.int32),
+        alpha=jnp.asarray(1.0, dtype), beta=jnp.asarray(0.0, dtype),
+        code=jnp.int32(1), w=w0,
+        progress=jnp.asarray(0.0, dtype),
+        predicted_reduction=jnp.asarray(0.0, dtype),
+        rankA=jnp.int32(0), rankJ2=jnp.int32(0),
+        dimA=jnp.int32(0), dimJ2=jnp.int32(0))
+    return Carry(
+        x=x0, rx=rx, cx=cx, J=J, A=A, gf=gf, active_mask=mask, w=w0, K=K,
+        prev=prev, restart=jnp.asarray(False), index_del=jnp.int32(-1),
+        nb_newton_steps=jnp.int32(0), nb_iter=jnp.int32(0),
+        exit_code=jnp.int32(0), counters=counters,
+        display=jnp.zeros((opts.max_iter + 1, 5), dtype),
+        n_display=jnp.int32(0), time_exceeded=jnp.asarray(False))
+
+
+def iterate_body(carry: Carry, fns: Functions, dims: Dims, opts: Options,
+                 tols: Tols) -> Carry:
+    """One full ENLSIP iteration (= the reference loop body :2776-2878,
+    which is also the unrolled first iteration :2670-2772)."""
+    x, rx, cx, J, A, gf = carry.x, carry.rx, carry.cx, carry.J, carry.A, carry.gf
+    counters = carry.counters
+    rx_sum_start = jnp.dot(rx, rx)
+    cx_sum_start = jnp.dot(cx, cx)
+
+    # --- EVSCAL + WRKSET ------------------------------------------------
+    wsr = _working_set_round(carry.active_mask, A, cx, rx, J, gf,
+                             carry.index_del, dims, opts, tols.eps_rank)
+    t = wsr.t
+    act_idx = wsr.view.active_list[:dims.tmax]
+    active_cx_sum = jnp.sum(jnp.where(wsr.act.valid, cx[act_idx] ** 2, 0.0))
+
+    # --- ANALYS ----------------------------------------------------------
+    ana = search_direction_analysis(
+        fns.res, fns.cons, x, rx, cx, wsr.act, active_cx_sum, wsr.gn,
+        wsr.F_A, wsr.F_L11, wsr.view, t, wsr.lam, carry.nb_iter, carry.prev,
+        carry.restart, jnp.asarray(False), wsr.deleted, dims, opts.scaling,
+        opts.second_derivatives)
+    # The reference bumps the residual/constraint counters through its
+    # finite-difference Hessians; our AD Hessians are single evaluations.
+    counters = lax.cond(
+        ana.newton_taken,
+        lambda c: c._replace(nb_res=c.nb_res + 1, nb_cons=c.nb_cons + 1),
+        lambda c: c, counters)
+    nb_newton = carry.nb_newton_steps + jnp.where(ana.newton_taken, 1, 0)
+
+    # --- STPLNG ----------------------------------------------------------
+    sl = compute_steplength(
+        fns.res, fns.cons, x, rx, J, cx, A, wsr.act, wsr.view, t, ana.p,
+        ana.dimA, wsr.gn.rankJ2, ana.code, wsr.index_del, carry.prev,
+        carry.K, wsr.mask, dims, opts.weight_code, counters,
+        opts.linesearch_max_refine, opts.gac_max_halvings,
+        opts.eucmod_max_passes, opts.scaling)
+    counters = sl.counters
+
+    # --- step + new point --------------------------------------------
+    x_new = x + sl.alpha * ana.p
+    rx_new, J_new, cx_new, A_new, counters = new_point(fns, x_new, counters)
+    gf_new = J_new.T @ rx_new
+    rx_sum_new = jnp.dot(rx_new, rx_new)
+    restart_new = ana.error_code < 0
+
+    sigma_min, lam_abs_max = minmax_lagrangian_mult(
+        wsr.lam, wsr.act.valid, t, dims.q, opts.scaling, wsr.act.diag_scale)
+
+    exit_code = check_termination(
+        ana.p, ana.code, restart_new, wsr.deleted, ana.d, ana.dimJ2,
+        wsr.grad_res, wsr.act.cx_act, wsr.act.A_act, wsr.act.valid, t,
+        x_new, carry.prev.x, cx_new, wsr.mask, rx_sum_new, gf_new,
+        carry.nb_iter, opts.max_iter, tols, ana.error_code, sigma_min,
+        lam_abs_max, sl.psi_error, nb_newton, sl.w, act_idx,
+        carry.time_exceeded, dims)
+
+    # --- bookkeeping: display, EVADD, prev snapshot -------------------
+    record = (carry.nb_iter == 0) | (exit_code == 0)
+    objective = jnp.where(carry.nb_iter == 0, rx_sum_start, rx_sum_new)
+    row = jnp.stack([objective, active_cx_sum, jnp.linalg.norm(ana.p),
+                     sl.alpha, jnp.where(sl.updated_progress, sl.progress,
+                                         carry.prev.progress)])
+    display = jnp.where(record,
+                        carry.display.at[carry.nb_iter].set(row),
+                        carry.display)
+    n_display = carry.n_display + jnp.where(record, 1, 0)
+
+    mask_evadd, _added = evaluate_violated_constraints(
+        cx_new, wsr.mask, sl.index_alpha_upp, dims)
+    mask_final = jnp.where(record, mask_evadd, wsr.mask)
+
+    progress_out = jnp.where(sl.updated_progress, sl.progress,
+                             carry.prev.progress)
+    predred_out = jnp.where(sl.updated_progress, sl.predicted_reduction,
+                            carry.prev.predicted_reduction)
+    prev_new = PrevIter(
+        x=x, rx_sum=rx_sum_start, cx_sum=cx_sum_start, t=t, alpha=sl.alpha,
+        beta=ana.beta, code=ana.code, w=sl.w, progress=progress_out,
+        predicted_reduction=predred_out, rankA=wsr.gn.rankA,
+        rankJ2=wsr.gn.rankJ2, dimA=ana.dimA, dimJ2=ana.dimJ2)
+
+    return Carry(
+        x=x_new, rx=rx_new, cx=cx_new, J=J_new, A=A_new, gf=gf_new,
+        active_mask=mask_final, w=sl.w, K=sl.K, prev=prev_new,
+        restart=restart_new, index_del=wsr.index_del,
+        nb_newton_steps=nb_newton,
+        nb_iter=carry.nb_iter + jnp.where(record, 1, 0),
+        exit_code=exit_code, counters=counters, display=display,
+        n_display=n_display, time_exceeded=carry.time_exceeded)
+
+
+def guarded_body(carry: Carry, fns: Functions, dims: Dims, opts: Options,
+                 tols: Tols) -> Carry:
+    """Run one iteration unless this lane has already terminated —
+    the freeze rule that makes the body safe under vmap."""
+    new = iterate_body(carry, fns, dims, opts, tols)
+    done = carry.exit_code != 0
+    return jax.tree.map(lambda a, b: jnp.where(done, a, b), carry, new)
+
+
+def run_chunk(carry: Carry, fns: Functions, dims: Dims, opts: Options,
+              tols: Tols, chunk: int) -> Carry:
+    """Run up to ``chunk`` iterations inside one jitted while_loop."""
+    start = carry.nb_iter
+
+    def cond(c):
+        return (c.exit_code == 0) & (c.nb_iter - start < chunk)
+
+    def body(c):
+        return iterate_body(c, fns, dims, opts, tols)
+
+    return lax.while_loop(cond, body, carry)
+
+
+class SolveResult(NamedTuple):
+    exit_code: int
+    x: jax.Array
+    f: float
+    n_iter: int
+    display: jax.Array
+    n_display: int
+    counters: Counters
+    solving_time: float
+
+
+def solve(fns: Functions, x0, dims: Dims, opts: Options, tols: Tols,
+          time_limit: float = 1e3, dtype=None) -> SolveResult:
+    """Host-level solve: jitted chunked while_loop + wall-clock check.
+
+    With the default (large) time limit the whole solve is a single
+    device dispatch; with a custom limit the chunk shrinks to one
+    iteration so the time check runs between iterations exactly like
+    the reference (:2836, :2511-2512).
+    """
+    dtype = dtype or jnp.asarray(x0).dtype
+    start_time = time.time()
+    carry = init_carry(fns, jnp.asarray(x0, dtype), dims, opts, dtype)
+    chunk = opts.max_iter + 1 if time_limit >= 1e3 else 1
+    step = jax.jit(partial(run_chunk, fns=fns, dims=dims, opts=opts,
+                           tols=tols, chunk=chunk))
+    while True:
+        carry = step(carry)
+        exit_code = int(carry.exit_code)
+        if exit_code != 0:
+            break
+        if time.time() - start_time > time_limit:
+            carry = carry._replace(exit_code=jnp.int32(-11))
+            exit_code = -11
+            break
+    f = float(jnp.dot(carry.rx, carry.rx))
+    return SolveResult(exit_code=exit_code, x=carry.x, f=f,
+                       n_iter=int(carry.nb_iter), display=carry.display,
+                       n_display=int(carry.n_display),
+                       counters=jax.tree.map(int, carry.counters),
+                       solving_time=time.time() - start_time)

@@ -1,0 +1,324 @@
+"""Active-set factorizations, multiplier estimates and search directions.
+
+Fixed-shape re-design of the reference's factorization chain
+(/root/reference/src/enlsip_functions.jl):
+
+* EVSCAL  (structures.jl:160-178)          -> :func:`gather_active`
+* MULEST  (enlsip_functions.jl:461-508)    -> :func:`first_mult_estimate`
+* LEAEST  (enlsip_functions.jl:514-537)    -> :func:`second_mult_estimate`
+* SUBDIR  (enlsip_functions.jl:116-153)    -> :func:`sub_search_direction`
+* GNSRCH  (enlsip_functions.jl:206-234)    -> :func:`gn_search_direction`
+* NEWTON  (enlsip_functions.jl:348-423)    -> :func:`newton_search_direction`
+  (HESSF/HESSH finite differences at :243-328 are replaced by exact AD
+  Hessian contractions — the TPU-native choice)
+
+All matrices live in fixed max-size buffers; the working set enters as
+gathered, masked rows; ranks/dims are traced int32.  Q factors are
+materialized through augmented identity columns in the pivoted QR (see
+ops/qr.py), so J @ Q1 and Q^T v are plain MXU matmuls.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.qr import (CPQR, cpqr, invperm, prefix_norm, pseudo_rank,
+                      solve_lower, solve_upper)
+from .types import Dims, WorkingView
+
+
+class ActiveConstraint(NamedTuple):
+    """Gathered (and optionally row-scaled) active-constraint data.
+
+    Rows beyond ``t`` are zero.  Mirrors ``Constraint`` + EVSCAL
+    (structures.jl:145-178)."""
+
+    A_act: jax.Array       # (tmax, n)
+    cx_act: jax.Array      # (tmax,)
+    diag_scale: jax.Array  # (tmax,) row norms, or their inverses if scaling
+    valid: jax.Array       # (tmax,) bool
+
+
+class FactorA(NamedTuple):
+    """Pivoted QR of the active-constraint transpose: A_act^T P = Q [R; 0].
+
+    Reference: ``F_A = qr(C.A', ColumnNorm())`` (enlsip_functions.jl:700).
+    ``Q`` is materialized (n x n); ``qt_gf = Q^T grad_f`` rides along."""
+
+    R: jax.Array       # (tmax, tmax)
+    perm: jax.Array    # (tmax,)
+    Q: jax.Array       # (n, n)
+    qt_gf: jax.Array   # (n,)
+    diag: jax.Array    # (tmax,)
+
+
+class FactorL11(NamedTuple):
+    """Pivoted QR of L11 = R_A^T (t x t): L11 P2 = Q2 [R11; 0].
+
+    Reference: ``F_L11 = qr(F_A.R', ColumnNorm())`` (:724).
+    ``qt_b = Q2^T (-cx_act[perm_A])`` rides along (the rhs used by every
+    consumer: SUBDIR:142, ANALYS:1251, NEWTON:375)."""
+
+    R: jax.Array      # (tmax, tmax)
+    perm: jax.Array   # (tmax,)
+    qt_b: jax.Array   # (tmax,)
+    diag: jax.Array   # (tmax,)
+
+
+class FactorJ2(NamedTuple):
+    """Pivoted QR of J2 (the trailing n-rankA columns of J @ Q1), kept
+    full-width: columns < rankA are zeroed and pivot last.
+
+    Reference: ``F_J2 = qr(J2, ColumnNorm())`` (:223).  ``qt_JQ1`` and
+    ``qt_rx`` ride along so any ``d = Q3^T (-J1 p1 - rx)`` is a small
+    matmul instead of a sequential reflector apply."""
+
+    R: jax.Array       # (min(m,n), n)
+    perm: jax.Array    # (n,)
+    qt_JQ1: jax.Array  # (m, n) = Q3^T (J @ Q1)
+    qt_rx: jax.Array   # (m,)
+    diag: jax.Array    # (min(m,n),)
+
+
+class GNResult(NamedTuple):
+    p: jax.Array       # (n,) search direction
+    b: jax.Array       # (tmax,) rhs of the p1 system
+    d: jax.Array       # (m,) rhs of the p2 system
+    rankA: jax.Array
+    rankJ2: jax.Array
+    F_J2: FactorJ2
+    JQ1: jax.Array     # (m, n)
+
+
+def gather_active(A: jax.Array, cx: jax.Array, view: WorkingView, dims: Dims,
+                  scaling: bool) -> ActiveConstraint:
+    """Gather the active rows of A / entries of cx into fixed (tmax, ...)
+    buffers and apply EVSCAL row scaling (structures.jl:160-178)."""
+    tmax = dims.tmax
+    eps = jnp.finfo(A.dtype).eps
+    rows_idx = view.active_list[:tmax]
+    valid = jnp.arange(tmax) < view.t
+    A_act = jnp.where(valid[:, None], A[rows_idx], 0.0)
+    cx_act = jnp.where(valid, cx[rows_idx], 0.0)
+    row_nrm = jnp.sqrt(jnp.sum(A_act * A_act, axis=1))
+    if scaling:
+        safe = jnp.where(jnp.abs(row_nrm) < eps, 1.0, row_nrm)
+        A_act = A_act / safe[:, None]
+        cx_act = cx_act / safe
+        diag_scale = 1.0 / safe
+    else:
+        diag_scale = row_nrm
+    return ActiveConstraint(A_act, cx_act, diag_scale, valid)
+
+
+def factor_active(act: ActiveConstraint, gf: jax.Array, dims: Dims) -> FactorA:
+    """F_A = pivoted QR of A_act^T with [gf | I_n] riding along."""
+    n = dims.n
+    aug = jnp.concatenate([gf[:, None], jnp.eye(n, dtype=gf.dtype)], axis=1)
+    f = cpqr(act.A_act.T, aug)
+    qt = f.qt_aug
+    return FactorA(R=f.R, perm=f.perm, Q=qt[:, 1:].T, qt_gf=qt[:, 0], diag=f.diag)
+
+
+def factor_l11(F_A: FactorA, act: ActiveConstraint, t: jax.Array) -> FactorL11:
+    """F_L11 = pivoted QR of R_A^T with b = -cx_act[perm_A] riding along."""
+    tmax = F_A.R.shape[0]
+    i = jnp.arange(tmax)
+    # Zero columns beyond t so pivoting orders them last.
+    L11 = jnp.where((i[None, :] < t), F_A.R.T, 0.0)
+    bvec = -jnp.where(i < t, act.cx_act[F_A.perm], 0.0)
+    f = cpqr(L11, bvec[:, None])
+    return FactorL11(R=f.R, perm=f.perm, qt_b=f.qt_aug[:, 0], diag=f.diag)
+
+
+def first_mult_estimate(F_A: FactorA, act: ActiveConstraint, t: jax.Array,
+                        dims: Dims, scaling: bool, eps_rank: jax.Array
+                        ) -> tuple[jax.Array, jax.Array]:
+    """MULEST (enlsip_functions.jl:461-508).
+
+    Returns (lam, grad_res): first-order Lagrange multipliers in active
+    slot order (tmax buffer) and the projected-gradient residual norm
+    ``||(Q^T grad_f)[prankA+1:n]||`` recorded into the iteration."""
+    tmax = dims.tmax
+    prankA = pseudo_rank(F_A.diag, t, eps_rank)
+    b = F_A.qt_gf  # (n,)
+    v = solve_upper(F_A.R[:, :tmax], b[:tmax], prankA)
+    ip = invperm(F_A.perm)
+    lam_ls = v[ip]
+    idx_n = jnp.arange(dims.n)
+    grad_res = jnp.sqrt(jnp.sum(jnp.where(idx_n >= prankA, b * b, 0.0)))
+    b2 = -act.cx_act[F_A.perm]
+    y = solve_lower(F_A.R.T[:, :tmax], b2, prankA)
+    u = solve_upper(F_A.R[:, :tmax], y, prankA)
+    lam = lam_ls + u[ip]
+    if scaling:
+        lam = lam * act.diag_scale
+    lam = jnp.where(act.valid, lam, 0.0)
+    return lam, grad_res
+
+
+def second_mult_estimate(F_A: FactorA, JQ1: jax.Array, rx: jax.Array,
+                         J: jax.Array, p_gn: jax.Array, t: jax.Array,
+                         act: ActiveConstraint, dims: Dims, scaling: bool
+                         ) -> jax.Array:
+    """LEAEST (enlsip_functions.jl:514-537): solve A^T lam = J1^T (rx + J p).
+
+    Note the reference calls this with its *default* eps_rank = sqrt(eps)
+    (:523), not the solver option; we reproduce that."""
+    tmax = dims.tmax
+    eps_rank = jnp.sqrt(jnp.finfo(rx.dtype).eps)
+    prankA = pseudo_rank(F_A.diag, t, eps_rank)
+    cols = jnp.arange(dims.n) < t
+    J1t = jnp.where(cols[:, None], JQ1.T, 0.0)  # (n, m) rows >= t zero
+    b_full = J1t @ (rx + J @ p_gn)              # (n,)
+    b = b_full[:tmax]
+    v = solve_upper(F_A.R[:, :tmax], b, prankA)
+    lam = v[invperm(F_A.perm)]
+    if scaling:
+        lam = lam * act.diag_scale
+    return jnp.where(act.valid, lam, 0.0)
+
+
+def _p1_stabilized(F_L11: FactorL11, dimA: jax.Array, rankA: jax.Array) -> jax.Array:
+    """p1 for the rank-deficient path: solve R11[:dimA,:dimA] dp1 = qt_b,
+    unpermute over the t slots, truncate to the first rankA entries
+    (enlsip_functions.jl:141-144)."""
+    tmax = F_L11.R.shape[0]
+    dp1 = solve_upper(F_L11.R[:, :tmax], F_L11.qt_b, dimA)
+    p1_full = jnp.zeros(tmax, dp1.dtype).at[F_L11.perm].set(dp1)
+    return jnp.where(jnp.arange(tmax) < rankA, p1_full, 0.0)
+
+
+def sub_search_direction(act: ActiveConstraint, rx: jax.Array, F_A: FactorA,
+                         F_L11: FactorL11, F_J2: FactorJ2, t: jax.Array,
+                         rankA: jax.Array, dimA: jax.Array, dimJ2: jax.Array,
+                         code: jax.Array, dims: Dims
+                         ) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """SUBDIR (enlsip_functions.jl:116-153), full-width formulation.
+
+    code == 1: p1 = L11^-1 (-cx[P1])            (full-rank A)
+    code == -1: stabilized p1 through F_L11      (rank-deficient A)
+    then d = Q3^T (-J1 p1 - rx), p2 from dimJ2 columns of R22,
+    p = Q1 (p1 ++ p2).
+
+    Both branches are computed and selected (cheap triangular solves),
+    which keeps this usable inside vmapped lanes without cond overhead.
+    """
+    n, tmax = dims.n, dims.tmax
+    bvec = -act.cx_act[F_A.perm]
+    p1_full = solve_lower(F_A.R.T[:, :tmax], bvec, t)
+    p1_stab = _p1_stabilized(F_L11, dimA, rankA)
+    use_full = code == 1
+    p1 = jnp.where(use_full, p1_full, p1_stab)
+    b = jnp.where(use_full, bvec, F_L11.qt_b)
+    # Embed p1 into y-coordinates (first rankA slots; rankA == t if code 1).
+    p1n = jnp.zeros(n, rx.dtype).at[:tmax].set(p1)
+    d = -(F_J2.qt_JQ1 @ p1n) - F_J2.qt_rx      # (m,)
+    kk = min(dims.m, n)
+    dp2 = solve_upper(F_J2.R[:, :kk], d[:kk], dimJ2)  # (kk,)
+    p2n = jnp.zeros(n, rx.dtype).at[F_J2.perm[:kk]].set(dp2)
+    p = F_A.Q @ (p1n + p2n)
+    return p, b, d
+
+
+def gn_search_direction(J: jax.Array, rx: jax.Array, act: ActiveConstraint,
+                        F_A: FactorA, F_L11: FactorL11, rankA: jax.Array,
+                        t: jax.Array, eps_rank: jax.Array, dims: Dims
+                        ) -> GNResult:
+    """GNSRCH (enlsip_functions.jl:206-234)."""
+    n, m = dims.n, dims.m
+    JQ1 = J @ F_A.Q
+    cols = jnp.arange(n)
+    J2buf = jnp.where(cols[None, :] >= rankA, JQ1, 0.0)
+    aug = jnp.concatenate([JQ1, rx[:, None]], axis=1)
+    f = cpqr(J2buf, aug)
+    F_J2 = FactorJ2(R=f.R, perm=f.perm, qt_JQ1=f.qt_aug[:, :n],
+                    qt_rx=f.qt_aug[:, n], diag=f.diag)
+    len_diag = jnp.minimum(m, n - rankA)
+    rankJ2 = pseudo_rank(F_J2.diag, len_diag, eps_rank)
+    code = jnp.where(rankA == t, 1, -1).astype(jnp.int32)
+    p, b, d = sub_search_direction(act, rx, F_A, F_L11, F_J2, t, rankA,
+                                   rankA, rankJ2, code, dims)
+    return GNResult(p=p, b=b, d=d, rankA=rankA, rankJ2=rankJ2, F_J2=F_J2, JQ1=JQ1)
+
+
+def hessian_contractions(res_fn: Callable, cons_fn: Callable, x: jax.Array,
+                         rx: jax.Array, lam_full: jax.Array
+                         ) -> tuple[jax.Array, jax.Array]:
+    """Exact AD replacements for HESSF/HESSH (enlsip_functions.jl:243-328).
+
+    r_mat = sum_k r_k(x0) * hess(r_k)(x)   = hess_x <r(x), rx_const>
+    c_mat = sum_i lam_i   * hess(c_i)(x)   = hess_x <c(x), lam_full>
+
+    The reference computes these by O(n^2) central finite differences of
+    the user functions; on TPU nested forward-over-reverse AD is both
+    exact and massively cheaper.
+    """
+    rxc = jax.lax.stop_gradient(rx)
+    lamc = jax.lax.stop_gradient(lam_full)
+    r_mat = jax.hessian(lambda z: jnp.vdot(res_fn(z), rxc))(x)
+    c_mat = jax.hessian(lambda z: jnp.vdot(cons_fn(z), lamc))(x)
+    return r_mat, c_mat
+
+
+def newton_search_direction(res_fn: Callable, cons_fn: Callable, x: jax.Array,
+                            rx: jax.Array, lam: jax.Array, view: WorkingView,
+                            act: ActiveConstraint, F_A: FactorA,
+                            F_L11: FactorL11, JQ1: jax.Array, rankA: jax.Array,
+                            t: jax.Array, dims: Dims
+                            ) -> tuple[jax.Array, jax.Array]:
+    """NEWTON (enlsip_functions.jl:348-423): KKT step on the null-space
+    system with exact second-order terms.  Returns (p, error) where
+    error mirrors the Cholesky-failure flag (-> exit code -3).
+
+    Deviation noted for parity auditing: when t > rankA the reference
+    permutes E by F_L11.p in a way that would index out of bounds for
+    n > t (:395-399); we apply the intended permutation on the leading
+    t coordinates and identity elsewhere."""
+    n, tmax = dims.n, dims.tmax
+    bvec = -act.cx_act[F_A.perm]
+    p1_full = solve_lower(F_A.R.T[:, :tmax], bvec, t)
+    p1_stab = _p1_stabilized(F_L11, rankA, rankA)
+    p1 = jnp.where(t == rankA, p1_full, p1_stab)
+    p1n = jnp.zeros(n, x.dtype).at[:tmax].set(p1)
+
+    # Scatter slot multipliers to the full constraint vector.
+    lam_full = jnp.zeros(dims.l, x.dtype).at[view.active_list[:tmax]].set(
+        jnp.where(act.valid, lam, 0.0))
+    r_mat, c_mat = hessian_contractions(res_fn, cons_fn, x, rx, lam_full)
+    Gamma = r_mat - c_mat
+    E = F_A.Q.T @ Gamma @ F_A.Q
+    # Permute leading-t coordinates by F_L11.p when t > rankA (:396-399).
+    idn = jnp.arange(n, dtype=jnp.int32)
+    permf = jnp.where(idn < tmax,
+                      jnp.pad(F_L11.perm, (0, n - tmax) if n > tmax else (0, 0))[:n],
+                      idn)
+    permf = jnp.where(jnp.arange(n) < t, permf, idn)
+    Ep = E[permf][:, permf]
+    E_used = jnp.where(t > rankA, Ep, E)
+
+    cols = jnp.arange(n)
+    in2 = cols >= rankA
+    J2 = jnp.where(in2[None, :], JQ1, 0.0)  # (m, n) live cols >= rankA
+    W = E_used + J2.T @ J2                  # W22 on the (>=rankA) block
+    W21p1 = E_used @ p1n + J2.T @ (JQ1 @ p1n)
+    dfull = jnp.where(in2, -(W21p1) - J2.T @ rx, 0.0)
+
+    sW = 0.5 * (W + W.T)
+    blk = in2[:, None] & in2[None, :]
+    Wm = jnp.where(blk, sW, jnp.eye(n, dtype=x.dtype))
+    L = jnp.linalg.cholesky(Wm)
+    bad = jnp.any(jnp.isnan(L))
+    Ls = jnp.where(jnp.isnan(L), jnp.eye(n, dtype=x.dtype), L)
+    y = jax.scipy.linalg.solve_triangular(Ls, dfull, lower=True)
+    p2n = jax.scipy.linalg.solve_triangular(Ls.T, y, lower=False)
+    p2n = jnp.where(in2, p2n, 0.0)
+    p = F_A.Q @ (p1n + p2n)
+    p = jnp.where(bad, jnp.zeros_like(p), p)
+    # rankA == n: constraints determine the step fully (:379-381).
+    p = jnp.where(rankA >= n, F_A.Q @ p1n, p)
+    error = bad & (rankA < n)
+    return p, error

@@ -1,0 +1,74 @@
+"""Termination criteria — the TERCRI exit-code lattice.
+
+Reference: /root/reference/src/enlsip_functions.jl:2399-2517.
+Convergence codes are additive (+10000, +2000, +300, +40); abnormal
+codes are negative (-2 max iters, -3/-4/-5 passthrough, -9 too many
+Newton steps, -6 merit-derivative inconsistency, -10 infeasible stall,
+-11 time limit).  The infeasibility negation (:2471-2481) is reproduced
+even though the necessary conditions already imply it cannot fire.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.qr import prefix_dot
+from .types import Dims, PrevIter, Tols
+
+
+def check_termination(p, code, restart, deleted, d_gn, dimJ2, grad_res,
+                      act_cx, act_A, act_valid, t, x, prev_x, cx, mask,
+                      rx_sum, gf, nb_iter, max_iter: int, tols: Tols,
+                      error_code, sigma_min, lam_abs_max, psi_error,
+                      nb_newton_steps, w, active_global, time_exceeded,
+                      dims: Dims) -> jax.Array:
+    """TERCRI.  All inputs are post-step values except the factorization
+    products (grad_res, d_gn, act_*) which come from the direction
+    computation at the pre-step point, exactly as in the reference."""
+    m, q, l = dims.m, dims.q, dims.l
+    dtype = x.dtype
+    rel = jnp.finfo(dtype).eps
+    alfnoi = rel / (jnp.linalg.norm(p) + rel)
+
+    preliminary = ~(restart | ((code == -1) & (alfnoi <= 0.25)))
+
+    act_cx_nrm = jnp.sqrt(jnp.sum(jnp.where(act_valid, act_cx * act_cx, 0.0)))
+    necessary = (~deleted) & (act_cx_nrm < tols.eps_c) & \
+                (grad_res < jnp.sqrt(tols.eps_rel) * (1 + jnp.linalg.norm(gf)))
+    inact = ~mask
+    inact_ok = jnp.all(jnp.where(inact, cx > 0.0, True))
+    necessary = necessary & jnp.where(jnp.sum(inact) > 0, inact_ok, True)
+    factor = jnp.where(t == 1, 1.0 + rx_sum, lam_abs_max)
+    necessary = necessary & jnp.where(t > q, sigma_min >= tols.eps_rel * factor,
+                                      True)
+
+    d1sq = prefix_dot(d_gn, jnp.clip(dimJ2, 0, m))
+    x_diff = jnp.linalg.norm(prev_x - x)
+    xnrm = jnp.linalg.norm(x)
+    conv = jnp.int32(0)
+    conv = conv + jnp.where(d1sq <= rx_sum * tols.eps_rel ** 2, 10000, 0)
+    conv = conv + jnp.where(rx_sum <= tols.eps_abs ** 2, 2000, 0)
+    conv = conv + jnp.where(x_diff < tols.eps_x * xnrm, 300, 0)
+    conv = conv + jnp.where(alfnoi > 0.25, 40, 0)
+    # Infeasibility negation (:2471-2481) — dead under the necessary
+    # conditions above, kept for exactness.
+    any_viol = jnp.any(jnp.where(inact, cx <= 0.0, False))
+    conv = jnp.where((conv > 0) & (jnp.sum(inact) > 0) & any_viol, -conv, conv)
+    exit_code = jnp.where(preliminary & necessary, conv, 0)
+
+    # Abnormal termination (:2485-2513), priority order preserved.
+    Atcx = act_A.T @ jnp.where(act_valid, act_cx, 0.0)
+    Atcx_nrm = jnp.linalg.norm(Atcx)
+    w_act = w[active_global]
+    pen_sum = jnp.sum(jnp.where(act_valid, w_act * w_act, 0.0))
+    pen_sum = jnp.where(t == 0, 0.0, pen_sum)
+    stuck = (x_diff <= 10.0 * tols.eps_x) & (Atcx_nrm <= 10.0 * tols.eps_c) & \
+            (pen_sum >= 1.0)
+    abn = jnp.where(nb_iter >= max_iter, -2,
+          jnp.where((error_code >= -5) & (error_code <= -3), error_code,
+          jnp.where(nb_newton_steps > 5, -9,
+          jnp.where(psi_error == -1, -6,
+          jnp.where(stuck, -10,
+          jnp.where(time_exceeded, -11, 0))))))
+    return jnp.where(exit_code == 0, abn, exit_code).astype(jnp.int32)

@@ -1,0 +1,150 @@
+"""State pytrees and static configuration for the ENLSIP-TPU solver.
+
+The reference threads a mutable ``Iteration`` record plus a
+``WorkingSet`` through its loop (/root/reference/src/structures.jl:63-98,
+209-229).  Here the solver is a pure function of a single fixed-shape
+carry pytree; the working set is a boolean mask over the ``l``
+constraints, and every data-dependent dimension (t, rankA, rankJ2,
+dimA, dimJ2) is a traced int32.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+
+@dataclasses.dataclass(frozen=True)
+class Dims:
+    """Static problem dimensions (hashable; part of the jit cache key).
+
+    n: parameters, m: residuals, q: equality constraints,
+    l: total constraints.  tmax = min(l, n) is the working-set capacity
+    (the reference enforces t <= min(l, n), enlsip_functions.jl:617).
+    """
+
+    n: int
+    m: int
+    q: int
+    l: int
+
+    @property
+    def tmax(self) -> int:
+        return min(self.l, self.n)
+
+
+@dataclasses.dataclass(frozen=True)
+class Options:
+    """Solver options; mirrors ``enlsip(...)`` keywords
+    (enlsip_functions.jl:2638-2655) and ``solve!`` tolerance mapping
+    (solver.jl:62-81).  Static fields only; tolerances are carried as
+    jnp scalars in :class:`Tols` to avoid re-jitting on tolerance
+    changes.
+    """
+
+    scaling: bool = False
+    second_derivatives: bool = True
+    weight_code: int = 2  # 0 = max-norm, 2 = euclidean norm
+    max_iter: int = 100
+    # Bounded inner-loop trip counts (the reference loops are unbounded
+    # but terminate in practice; these caps guarantee jit termination).
+    linesearch_max_refine: int = 30
+    gac_max_halvings: int = 60
+    eucmod_max_passes: int = 16
+
+
+class Tols(NamedTuple):
+    """Traced tolerance bundle (defaults set in api layer from eps(T))."""
+
+    eps_abs: jax.Array
+    eps_rel: jax.Array
+    eps_x: jax.Array
+    eps_c: jax.Array
+    eps_rank: jax.Array
+
+
+class Counters(NamedTuple):
+    """Evaluation counters — observable via ExecutionInfo
+    (cnls_model.jl:11-36, 97-104)."""
+
+    nb_res: jax.Array
+    nb_jacres: jax.Array
+    nb_cons: jax.Array
+    nb_jaccons: jax.Array
+
+    @staticmethod
+    def zeros() -> "Counters":
+        z = jnp.int32(0)
+        return Counters(z, z, z, z)
+
+
+class PrevIter(NamedTuple):
+    """Snapshot of the previous iteration, as read by GNDCHK / SUBSPC /
+    STPLNG / TERCRI.  Captured at end-of-body with the semantics of the
+    reference's ``previous_iter = copy(iter)`` (enlsip_functions.jl:2860):
+    ``x``/``rx_sum``/``cx_sum`` are the values at the *start* of that
+    body (the point where its direction was computed)."""
+
+    x: jax.Array          # (n,)
+    rx_sum: jax.Array     # ||r(x_prev)||^2
+    cx_sum: jax.Array     # ||c(x_prev)||^2 (full vector)
+    t: jax.Array          # working-set size at direction time
+    alpha: jax.Array
+    beta: jax.Array
+    code: jax.Array       # 1 GN, -1 subspace, 2 Newton
+    w: jax.Array          # (l,) penalty weights used
+    progress: jax.Array
+    predicted_reduction: jax.Array
+    rankA: jax.Array
+    rankJ2: jax.Array
+    dimA: jax.Array
+    dimJ2: jax.Array
+
+
+class Carry(NamedTuple):
+    """The full solver loop carry."""
+
+    x: jax.Array          # (n,) current point
+    rx: jax.Array         # (m,)
+    cx: jax.Array         # (l,)
+    J: jax.Array          # (m, n)
+    A: jax.Array          # (l, n)
+    gf: jax.Array         # (n,) gradient J^T rx
+    active_mask: jax.Array  # (l,) bool working set
+    w: jax.Array          # (l,) current penalty weights
+    K: jax.Array          # (4, l) penalty history (largest-4 per constraint)
+    prev: PrevIter
+    restart: jax.Array    # bool, current iter restart flag (carried)
+    index_del: jax.Array  # int32 global constraint index, 0 = none (carried!)
+    nb_newton_steps: jax.Array
+    nb_iter: jax.Array
+    exit_code: jax.Array
+    counters: Counters
+    display: jax.Array    # (max_iter+1, 5): objective, act_cx_sum, |p|, alpha, progress
+    n_display: jax.Array  # number of valid display rows
+    time_exceeded: jax.Array  # bool, set host-side between chunks
+
+
+class WorkingView(NamedTuple):
+    """Derived view of the working set for one mask state.
+
+    active_list: (l,) int32 — first t entries are the sorted active
+      constraint indices, the remaining l-t entries are the sorted
+      inactive ones (this single argsort reproduces both of the
+      reference's ``active``/``inactive`` arrays, structures.jl:209-229).
+    t: traced active count.
+    """
+
+    active_list: jax.Array
+    t: jax.Array
+
+
+def working_view(mask: jax.Array) -> WorkingView:
+    l = mask.shape[0]
+    idx = jnp.arange(l, dtype=jnp.int32)
+    key = jnp.where(mask, idx, idx + l)
+    order = jnp.argsort(key).astype(jnp.int32)
+    return WorkingView(active_list=order, t=jnp.sum(mask).astype(jnp.int32))
