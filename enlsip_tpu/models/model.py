@@ -64,7 +64,7 @@ class CnlsModel:
     residuals: Callable
     nb_parameters: int
     nb_residuals: int
-    starting_point: np.ndarray
+    starting_point: Optional[np.ndarray] = None
     jacobian_residuals: Optional[Callable] = None
     eq_constraints: Optional[Callable] = None
     jacobian_eqcons: Optional[Callable] = None
