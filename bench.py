@@ -1,0 +1,94 @@
+"""Benchmark harness: prints ONE JSON line for the driver.
+
+Headline metric: Chained Rosenbrock n=1000 solve wall time (steady
+state, compile excluded — the reference's number is BenchmarkTools
+@btime, which also excludes compilation; docs/src/tutorial.md:301,
+baseline 2.325 s).  vs_baseline = baseline_seconds / our_seconds
+(speedup, >1 is better).
+
+Secondary metrics (batched HS65 throughput) are included as extra JSON
+fields.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+sys.path.insert(0, "tests")
+
+BASELINE_CR1000_S = 2.325
+
+
+def bench_chained_rosenbrock(n=1000, dtype=jnp.float32, repeats=3):
+    import enlsip_tpu as et
+    from problems import chained_rosenbrock
+
+    kw = chained_rosenbrock(n)
+    times = []
+    status = None
+    for i in range(repeats + 1):  # first solve includes compile; drop it
+        model = et.CnlsModel(**kw)
+        t0 = time.perf_counter()
+        et.solve(model, dtype=dtype)
+        times.append(time.perf_counter() - t0)
+        status = et.status(model)
+    return min(times[1:]), status
+
+
+def bench_batched_hs65(B=512, dtype=jnp.float32):
+    import enlsip_tpu as et
+    from enlsip_tpu.core.driver import Functions
+    from enlsip_tpu.core.types import Dims, Options, Tols
+    from enlsip_tpu.models.model import build_constraint_functions
+    from enlsip_tpu.parallel import solve_batched
+    from problems import HS65, HS65_FSTAR
+
+    model = et.CnlsModel(**HS65)
+    cons, jac_cons = build_constraint_functions(model)
+    fns = Functions(res=HS65["residuals"],
+                    jac_res=HS65["jacobian_residuals"],
+                    cons=cons, jac_cons=jac_cons)
+    dims = Dims(n=3, m=3, q=0, l=7)
+    opts = Options()
+    eps = float(jnp.finfo(dtype).eps)
+    rel = float(np.sqrt(eps))
+    tols = Tols(*(jnp.asarray(v, dtype) for v in (1e-10, rel, rel, rel, rel)))
+    rng = np.random.default_rng(0)
+    x0 = np.asarray(HS65["starting_point"])
+    starts = x0[None, :] + 0.3 * rng.normal(size=(B, 3))
+
+    res = solve_batched(fns, starts, dims, opts, tols, dtype=dtype)  # compile
+    jax.block_until_ready(res.x)
+    t0 = time.perf_counter()
+    res = solve_batched(fns, starts, dims, opts, tols, dtype=dtype)
+    jax.block_until_ready(res.x)
+    dt = time.perf_counter() - t0
+    ok = np.asarray(res.exit_code) > 0
+    matched = np.abs(np.asarray(res.f) - HS65_FSTAR) < 1e-4
+    return B / dt, float(np.mean(ok & matched))
+
+
+def main():
+    t_cr, status = bench_chained_rosenbrock()
+    hs_rate, hs_match = bench_batched_hs65()
+    out = {
+        "metric": "chained_rosenbrock_n1000_solve_seconds",
+        "value": round(t_cr, 4),
+        "unit": "s",
+        "vs_baseline": round(BASELINE_CR1000_S / t_cr, 3),
+        "cr1000_status": status,
+        "hs65_batched_solves_per_sec": round(hs_rate, 1),
+        "hs65_batched_match_rate": hs_match,
+        "device": str(jax.devices()[0]),
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -230,10 +230,13 @@ def iterate_body(carry: Carry, fns: Functions, dims: Dims, opts: Options,
     sigma_min, lam_abs_max = minmax_lagrangian_mult(
         wsr.lam, wsr.act.valid, t, dims.q, opts.scaling, wsr.act.diag_scale)
 
+    # NOTE: the reference copies previous_iter BEFORE refreshing iter.x
+    # (:2860-2862), so TERCRI's prev_iter.x is the CURRENT body's
+    # starting point: x_diff = ||x_old - x_new|| of this step.
     exit_code = check_termination(
         ana.p, ana.code, restart_new, wsr.deleted, ana.d, ana.dimJ2,
         wsr.grad_res, wsr.act.cx_act, wsr.act.A_act, wsr.act.valid, t,
-        x_new, carry.prev.x, cx_new, wsr.mask, rx_sum_new, gf_new,
+        x_new, x, cx_new, wsr.mask, rx_sum_new, gf_new,
         carry.nb_iter, opts.max_iter, tols, ana.error_code, sigma_min,
         lam_abs_max, sl.psi_error, nb_newton, sl.w, act_idx,
         carry.time_exceeded, dims)
