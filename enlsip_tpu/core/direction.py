@@ -19,7 +19,7 @@ from jax import lax
 
 from ..ops.qr import prefix_norm, solve_upper
 from .subproblem import (ActiveConstraint, FactorA, FactorJ2, FactorL11,
-                         GNResult, newton_search_direction,
+                         GNResult, j2_transform_d, newton_search_direction,
                          sub_search_direction)
 from .types import Dims, PrevIter, WorkingView
 
@@ -163,7 +163,7 @@ def determine_solving_dim(previous_dim, rank, predicted_linear_progress,
 
 def choose_subspace_dimensions(rx_sum, rx, active_cx_sum, t, rankJ2, rankA,
                                F_L11: FactorL11, F_J2: FactorJ2,
-                               prev: PrevIter, restart, dims: Dims
+                               JQ1, prev: PrevIter, restart, dims: Dims
                                ) -> tuple[jax.Array, jax.Array]:
     """SUBSPC (:1118-1176).  Returns (dimA, dimJ2)."""
     n, m, tmax = dims.n, dims.m, dims.tmax
@@ -189,7 +189,7 @@ def choose_subspace_dimensions(rx_sum, rx, active_cx_sum, t, rankJ2, rankA,
     # d = -(rx + J1 p1), transformed by Q3^T iff rankJ2 > 0 (:1161-1163).
     # When rankJ2 == 0, DIMUPP returns 0 without reading d, so the
     # transformed vector can be used unconditionally.
-    d = -(F_J2.qt_JQ1 @ p1n) - F_J2.qt_rx
+    d = j2_transform_d(F_J2, JQ1, p1n, rx)
 
     previous_dimJ2 = jnp.abs(prev.dimJ2) + prev.t - t
     nrm_d_asprev = prefix_norm(d, jnp.clip(previous_dimJ2, 0, m))
@@ -253,9 +253,9 @@ def search_direction_analysis(res_fn: Callable, cons_fn: Callable,
     def subspace_branch(_):
         dimA, dimJ2 = choose_subspace_dimensions(
             rx_sum, rx, active_cx_sum, t, rankJ2, rankA, F_L11, gn.F_J2,
-            prev, restart, dims)
-        p, b, d = sub_search_direction(act, rx, F_A, F_L11, gn.F_J2, t,
-                                       rankA, dimA, dimJ2,
+            gn.JQ1, prev, restart, dims)
+        p, b, d = sub_search_direction(act, rx, F_A, F_L11, gn.F_J2, gn.JQ1,
+                                       t, rankA, dimA, dimJ2,
                                        jnp.int32(-1), dims)
         code = jnp.where((dimA == rankA) & (dimJ2 == rankJ2), 1, -1)
         return p, b, d, dimA, dimJ2, code.astype(jnp.int32), jnp.int32(0)

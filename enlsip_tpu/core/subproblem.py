@@ -13,9 +13,10 @@ Fixed-shape re-design of the reference's factorization chain
   Hessian contractions — the TPU-native choice)
 
 All matrices live in fixed max-size buffers; the working set enters as
-gathered, masked rows; ranks/dims are traced int32.  Q factors are
-materialized through augmented identity columns in the pivoted QR (see
-ops/qr.py), so J @ Q1 and Q^T v are plain MXU matmuls.
+gathered, masked rows; ranks/dims are traced int32.  Q factors stay
+implicit: the blocked pivoted QR (ops/blocked_qr.py) returns compact-WY
+reflectors, so J @ Q1, Q^T v and Q v are a couple of MXU GEMMs each —
+Q is never materialized.
 """
 
 from __future__ import annotations
@@ -25,8 +26,9 @@ from typing import Callable, NamedTuple
 import jax
 import jax.numpy as jnp
 
-from ..ops.qr import (CPQR, cpqr, invperm, prefix_norm, pseudo_rank,
-                      solve_lower, solve_upper)
+from ..ops.blocked_qr import (CPQRF, cpqr_blocked, q_apply, qt_apply,
+                              right_q_apply)
+from ..ops.qr import invperm, prefix_norm, pseudo_rank, solve_lower, solve_upper
 from .types import Dims, WorkingView
 
 
@@ -46,21 +48,31 @@ class FactorA(NamedTuple):
     """Pivoted QR of the active-constraint transpose: A_act^T P = Q [R; 0].
 
     Reference: ``F_A = qr(C.A', ColumnNorm())`` (enlsip_functions.jl:700).
-    ``Q`` is materialized (n x n); ``qt_gf = Q^T grad_f`` rides along."""
+    ``f`` holds the compact-WY factors (Q implicit);
+    ``qt_gf = Q^T grad_f`` is precomputed."""
 
-    R: jax.Array       # (tmax, tmax)
-    perm: jax.Array    # (tmax,)
-    Q: jax.Array       # (n, n)
+    f: CPQRF           # R (tmax, tmax), V (n, tmax), T, perm, diag
     qt_gf: jax.Array   # (n,)
-    diag: jax.Array    # (tmax,)
+
+    @property
+    def R(self):
+        return self.f.R
+
+    @property
+    def perm(self):
+        return self.f.perm
+
+    @property
+    def diag(self):
+        return self.f.diag
 
 
 class FactorL11(NamedTuple):
     """Pivoted QR of L11 = R_A^T (t x t): L11 P2 = Q2 [R11; 0].
 
     Reference: ``F_L11 = qr(F_A.R', ColumnNorm())`` (:724).
-    ``qt_b = Q2^T (-cx_act[perm_A])`` rides along (the rhs used by every
-    consumer: SUBDIR:142, ANALYS:1251, NEWTON:375)."""
+    ``qt_b = Q2^T (-cx_act[perm_A])`` is precomputed (the rhs used by
+    every consumer: SUBDIR:142, ANALYS:1251, NEWTON:375)."""
 
     R: jax.Array      # (tmax, tmax)
     perm: jax.Array   # (tmax,)
@@ -72,15 +84,30 @@ class FactorJ2(NamedTuple):
     """Pivoted QR of J2 (the trailing n-rankA columns of J @ Q1), kept
     full-width: columns < rankA are zeroed and pivot last.
 
-    Reference: ``F_J2 = qr(J2, ColumnNorm())`` (:223).  ``qt_JQ1`` and
-    ``qt_rx`` ride along so any ``d = Q3^T (-J1 p1 - rx)`` is a small
-    matmul instead of a sequential reflector apply."""
+    Reference: ``F_J2 = qr(J2, ColumnNorm())`` (:223).  Q3 stays
+    implicit; ``d = Q3^T (-J1 p1 - rx)`` is computed per-use with two
+    small GEMVs (see :func:`j2_transform_d`)."""
 
-    R: jax.Array       # (min(m,n), n)
-    perm: jax.Array    # (n,)
-    qt_JQ1: jax.Array  # (m, n) = Q3^T (J @ Q1)
-    qt_rx: jax.Array   # (m,)
-    diag: jax.Array    # (min(m,n),)
+    f: CPQRF           # R (min(m,n), n), V (m, min(m,n)), T, perm, diag
+
+    @property
+    def R(self):
+        return self.f.R
+
+    @property
+    def perm(self):
+        return self.f.perm
+
+    @property
+    def diag(self):
+        return self.f.diag
+
+
+def j2_transform_d(F_J2: "FactorJ2", JQ1: jax.Array, p1n: jax.Array,
+                   rx: jax.Array) -> jax.Array:
+    """d = Q3^T (-J1 p1 - rx) (J1 p1 == JQ1 @ p1n since p1n is zero
+    past the leading slots)."""
+    return qt_apply(F_J2.f, -(JQ1 @ p1n) - rx)
 
 
 class GNResult(NamedTuple):
@@ -115,23 +142,20 @@ def gather_active(A: jax.Array, cx: jax.Array, view: WorkingView, dims: Dims,
 
 
 def factor_active(act: ActiveConstraint, gf: jax.Array, dims: Dims) -> FactorA:
-    """F_A = pivoted QR of A_act^T with [gf | I_n] riding along."""
-    n = dims.n
-    aug = jnp.concatenate([gf[:, None], jnp.eye(n, dtype=gf.dtype)], axis=1)
-    f = cpqr(act.A_act.T, aug)
-    qt = f.qt_aug
-    return FactorA(R=f.R, perm=f.perm, Q=qt[:, 1:].T, qt_gf=qt[:, 0], diag=f.diag)
+    """F_A = blocked pivoted QR of A_act^T; qt_gf = Q^T grad_f."""
+    f = cpqr_blocked(act.A_act.T)
+    return FactorA(f=f, qt_gf=qt_apply(f, gf))
 
 
 def factor_l11(F_A: FactorA, act: ActiveConstraint, t: jax.Array) -> FactorL11:
-    """F_L11 = pivoted QR of R_A^T with b = -cx_act[perm_A] riding along."""
+    """F_L11 = pivoted QR of R_A^T; qt_b = Q2^T (-cx_act[perm_A])."""
     tmax = F_A.R.shape[0]
     i = jnp.arange(tmax)
     # Zero columns beyond t so pivoting orders them last.
     L11 = jnp.where((i[None, :] < t), F_A.R.T, 0.0)
     bvec = -jnp.where(i < t, act.cx_act[F_A.perm], 0.0)
-    f = cpqr(L11, bvec[:, None])
-    return FactorL11(R=f.R, perm=f.perm, qt_b=f.qt_aug[:, 0], diag=f.diag)
+    f = cpqr_blocked(L11)
+    return FactorL11(R=f.R, perm=f.perm, qt_b=qt_apply(f, bvec), diag=f.diag)
 
 
 def first_mult_estimate(F_A: FactorA, act: ActiveConstraint, t: jax.Array,
@@ -193,7 +217,8 @@ def _p1_stabilized(F_L11: FactorL11, dimA: jax.Array, rankA: jax.Array) -> jax.A
 
 
 def sub_search_direction(act: ActiveConstraint, rx: jax.Array, F_A: FactorA,
-                         F_L11: FactorL11, F_J2: FactorJ2, t: jax.Array,
+                         F_L11: FactorL11, F_J2: FactorJ2, JQ1: jax.Array,
+                         t: jax.Array,
                          rankA: jax.Array, dimA: jax.Array, dimJ2: jax.Array,
                          code: jax.Array, dims: Dims
                          ) -> tuple[jax.Array, jax.Array, jax.Array]:
@@ -216,11 +241,11 @@ def sub_search_direction(act: ActiveConstraint, rx: jax.Array, F_A: FactorA,
     b = jnp.where(use_full, bvec, F_L11.qt_b)
     # Embed p1 into y-coordinates (first rankA slots; rankA == t if code 1).
     p1n = jnp.zeros(n, rx.dtype).at[:tmax].set(p1)
-    d = -(F_J2.qt_JQ1 @ p1n) - F_J2.qt_rx      # (m,)
+    d = j2_transform_d(F_J2, JQ1, p1n, rx)     # (m,)
     kk = min(dims.m, n)
     dp2 = solve_upper(F_J2.R[:, :kk], d[:kk], dimJ2)  # (kk,)
     p2n = jnp.zeros(n, rx.dtype).at[F_J2.perm[:kk]].set(dp2)
-    p = F_A.Q @ (p1n + p2n)
+    p = q_apply(F_A.f, p1n + p2n)
     return p, b, d
 
 
@@ -230,17 +255,14 @@ def gn_search_direction(J: jax.Array, rx: jax.Array, act: ActiveConstraint,
                         ) -> GNResult:
     """GNSRCH (enlsip_functions.jl:206-234)."""
     n, m = dims.n, dims.m
-    JQ1 = J @ F_A.Q
+    JQ1 = right_q_apply(F_A.f, J)
     cols = jnp.arange(n)
     J2buf = jnp.where(cols[None, :] >= rankA, JQ1, 0.0)
-    aug = jnp.concatenate([JQ1, rx[:, None]], axis=1)
-    f = cpqr(J2buf, aug)
-    F_J2 = FactorJ2(R=f.R, perm=f.perm, qt_JQ1=f.qt_aug[:, :n],
-                    qt_rx=f.qt_aug[:, n], diag=f.diag)
+    F_J2 = FactorJ2(f=cpqr_blocked(J2buf))
     len_diag = jnp.minimum(m, n - rankA)
     rankJ2 = pseudo_rank(F_J2.diag, len_diag, eps_rank)
     code = jnp.where(rankA == t, 1, -1).astype(jnp.int32)
-    p, b, d = sub_search_direction(act, rx, F_A, F_L11, F_J2, t, rankA,
+    p, b, d = sub_search_direction(act, rx, F_A, F_L11, F_J2, JQ1, t, rankA,
                                    rankA, rankJ2, code, dims)
     return GNResult(p=p, b=b, d=d, rankA=rankA, rankJ2=rankJ2, F_J2=F_J2, JQ1=JQ1)
 
@@ -290,7 +312,7 @@ def newton_search_direction(res_fn: Callable, cons_fn: Callable, x: jax.Array,
         jnp.where(act.valid, lam, 0.0))
     r_mat, c_mat = hessian_contractions(res_fn, cons_fn, x, rx, lam_full)
     Gamma = r_mat - c_mat
-    E = F_A.Q.T @ Gamma @ F_A.Q
+    E = right_q_apply(F_A.f, qt_apply(F_A.f, Gamma))
     # Permute leading-t coordinates by F_L11.p when t > rankA (:396-399).
     idn = jnp.arange(n, dtype=jnp.int32)
     permf = jnp.where(idn < tmax,
@@ -316,9 +338,9 @@ def newton_search_direction(res_fn: Callable, cons_fn: Callable, x: jax.Array,
     y = jax.scipy.linalg.solve_triangular(Ls, dfull, lower=True)
     p2n = jax.scipy.linalg.solve_triangular(Ls.T, y, lower=False)
     p2n = jnp.where(in2, p2n, 0.0)
-    p = F_A.Q @ (p1n + p2n)
+    p = q_apply(F_A.f, p1n + p2n)
     p = jnp.where(bad, jnp.zeros_like(p), p)
     # rankA == n: constraints determine the step fully (:379-381).
-    p = jnp.where(rankA >= n, F_A.Q @ p1n, p)
+    p = jnp.where(rankA >= n, q_apply(F_A.f, p1n), p)
     error = bad & (rankA < n)
     return p, error

@@ -51,7 +51,7 @@ def test_solve_batched_matches_single():
     """Each batched lane must match the unbatched solve from the same
     start (bitwise trajectory parity of the masked formulation)."""
     fns, dims, opts, tols = _hs65_setup()
-    starts = _perturbed_starts(4, seed=1)
+    starts = _perturbed_starts(8, seed=1)  # B=8 shares the jit cache
     res = solve_batched(fns, starts, dims, opts, tols)
     for i in range(4):
         single = et.core_solve(fns, jnp.asarray(starts[i]), dims, opts, tols)

@@ -4,7 +4,7 @@ accuracy metric).
 Every problem must reach a first-order stationary point or a documented
 degenerate outcome; the match rate against published optima must stay
 at or above the recorded level (raising it is progress, dropping it is
-a regression).
+a regression).  Each problem is solved once per session (fixture).
 """
 
 import numpy as np
@@ -24,27 +24,29 @@ KNOWN_DIFFICULT = {"hs2", "hs13", "hs16", "hs27", "hs32", "hs60"}
 MIN_MATCH_RATE = 0.80
 
 
+@pytest.fixture(scope="module")
+def suite_results():
+    results = {}
+    for name, builder in HS_PROBLEMS.items():
+        kw, fstar = builder()
+        model = et.CnlsModel(**kw)
+        et.solve(model)
+        results[name] = (et.status(model), et.sum_sq_residuals(model), fstar)
+    return results
+
+
 @pytest.mark.parametrize("name", sorted(HS_PROBLEMS))
-def test_hs_problem_runs(name):
-    kw, fstar = HS_PROBLEMS[name]()
-    model = et.CnlsModel(**kw)
-    et.solve(model)
-    st = et.status(model)
+def test_hs_problem(name, suite_results):
+    st, f, fstar = suite_results[name]
     assert st in et.dict_status_codes.values()
-    f = et.sum_sq_residuals(model)
     assert np.isfinite(f)
     if name not in KNOWN_DIFFICULT:
         assert st == "found_first_order_stationary_point", (name, st)
         assert f == pytest.approx(fstar, abs=1e-5 * (1 + abs(fstar))), name
 
 
-def test_hs_suite_match_rate():
-    matched = total = 0
-    for name, builder in HS_PROBLEMS.items():
-        kw, fstar = builder()
-        model = et.CnlsModel(**kw)
-        et.solve(model)
-        total += 1
-        if abs(et.sum_sq_residuals(model) - fstar) <= 1e-5 * (1 + abs(fstar)):
-            matched += 1
+def test_hs_suite_match_rate(suite_results):
+    matched = sum(1 for st, f, fstar in suite_results.values()
+                  if abs(f - fstar) <= 1e-5 * (1 + abs(fstar)))
+    total = len(suite_results)
     assert matched / total >= MIN_MATCH_RATE, (matched, total)
