@@ -17,6 +17,13 @@ import sys
 import time
 
 import jax
+
+# Persistent compilation cache: the big CR-n=1000 solver graph takes
+# minutes to compile; cache it across runs/rounds.
+import os as _os
+jax.config.update("jax_compilation_cache_dir",
+                  _os.path.join(_os.path.dirname(_os.path.abspath(__file__)), ".jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 import jax.numpy as jnp
 import numpy as np
 

@@ -166,13 +166,13 @@ def choose_subspace_dimensions(rx_sum, rx, active_cx_sum, t, rankJ2, rankA,
                                JQ1, prev: PrevIter, restart, dims: Dims
                                ) -> tuple[jax.Array, jax.Array]:
     """SUBSPC (:1118-1176).  Returns (dimA, dimJ2)."""
-    n, m, tmax = dims.n, dims.m, dims.tmax
+    n, m, l, ka = dims.n, dims.m, dims.l, dims.ka
     alpha_low = 0.2
-    b = F_L11.qt_b
+    b = F_L11.qt_b                     # (l,)
 
     # rankA > 0 branch
     previous_dimA = jnp.abs(prev.dimA) + t - prev.t
-    nrm_b_asprev = prefix_norm(b, jnp.clip(previous_dimA, 0, tmax))
+    nrm_b_asprev = prefix_norm(b, jnp.clip(previous_dimA, 0, l))
     nrm_b = prefix_norm(b, t)
     constraint_progress = prev.cx_sum - active_cx_sum
     dimA_pos = determine_solving_dim(previous_dimA, rankA, nrm_b,
@@ -182,10 +182,10 @@ def choose_subspace_dimensions(rx_sum, rx, active_cx_sum, t, rankJ2, rankA,
     previous_dimA = jnp.where(rankA > 0, previous_dimA, 0)
 
     # d = -(rx + J1 p1) transformed by Q3^T iff rankJ2 > 0 (:1156-1163)
-    dp1 = solve_upper(F_L11.R[:, :tmax], b, dimA)
-    p1_full = jnp.zeros(tmax, rx.dtype).at[F_L11.perm].set(dp1)
-    p1 = jnp.where(jnp.arange(tmax) < rankA, p1_full, 0.0)
-    p1n = jnp.zeros(n, rx.dtype).at[:tmax].set(p1)
+    dp1 = solve_upper(F_L11.R[:ka, :ka], b[:ka], dimA)
+    p1_full = jnp.zeros(ka, rx.dtype).at[F_L11.perm].set(dp1)
+    p1 = jnp.where(jnp.arange(ka) < rankA, p1_full, 0.0)
+    p1n = jnp.zeros(n, rx.dtype).at[:ka].set(p1)
     # d = -(rx + J1 p1), transformed by Q3^T iff rankJ2 > 0 (:1161-1163).
     # When rankJ2 == 0, DIMUPP returns 0 without reading d, so the
     # transformed vector can be used unconditionally.

@@ -148,11 +148,12 @@ def factor_active(act: ActiveConstraint, gf: jax.Array, dims: Dims) -> FactorA:
 
 
 def factor_l11(F_A: FactorA, act: ActiveConstraint, t: jax.Array) -> FactorL11:
-    """F_L11 = pivoted QR of R_A^T; qt_b = Q2^T (-cx_act[perm_A])."""
-    tmax = F_A.R.shape[0]
-    i = jnp.arange(tmax)
-    # Zero columns beyond t so pivoting orders them last.
-    L11 = jnp.where((i[None, :] < t), F_A.R.T, 0.0)
+    """F_L11 = pivoted QR of L11 = R_A^T ((l, ka) buffer; rows beyond t
+    are automatically zero because the masked slots of A pivot last);
+    qt_b = Q2^T (-cx_act[perm_A])."""
+    l = F_A.R.shape[1]
+    i = jnp.arange(l)
+    L11 = F_A.R.T                      # (l, ka)
     bvec = -jnp.where(i < t, act.cx_act[F_A.perm], 0.0)
     f = cpqr_blocked(L11)
     return FactorL11(R=f.R, perm=f.perm, qt_b=qt_apply(f, bvec), diag=f.diag)
@@ -164,20 +165,20 @@ def first_mult_estimate(F_A: FactorA, act: ActiveConstraint, t: jax.Array,
     """MULEST (enlsip_functions.jl:461-508).
 
     Returns (lam, grad_res): first-order Lagrange multipliers in active
-    slot order (tmax buffer) and the projected-gradient residual norm
+    slot order (l buffer) and the projected-gradient residual norm
     ``||(Q^T grad_f)[prankA+1:n]||`` recorded into the iteration."""
-    tmax = dims.tmax
+    l, ka = dims.l, dims.ka
     prankA = pseudo_rank(F_A.diag, t, eps_rank)
     b = F_A.qt_gf  # (n,)
-    v = solve_upper(F_A.R[:, :tmax], b[:tmax], prankA)
+    v = solve_upper(F_A.R[:ka, :ka], b[:ka], prankA)
     ip = invperm(F_A.perm)
-    lam_ls = v[ip]
+    lam_ls = jnp.zeros(l, b.dtype).at[:ka].set(v)[ip]
     idx_n = jnp.arange(dims.n)
     grad_res = jnp.sqrt(jnp.sum(jnp.where(idx_n >= prankA, b * b, 0.0)))
     b2 = -act.cx_act[F_A.perm]
-    y = solve_lower(F_A.R.T[:, :tmax], b2, prankA)
-    u = solve_upper(F_A.R[:, :tmax], y, prankA)
-    lam = lam_ls + u[ip]
+    y = solve_lower(F_A.R.T[:ka, :ka], b2[:ka], prankA)
+    u = solve_upper(F_A.R[:ka, :ka], y, prankA)
+    lam = lam_ls + jnp.zeros(l, b.dtype).at[:ka].set(u)[ip]
     if scaling:
         lam = lam * act.diag_scale
     lam = jnp.where(act.valid, lam, 0.0)
@@ -191,16 +192,16 @@ def second_mult_estimate(F_A: FactorA, JQ1: jax.Array, rx: jax.Array,
     """LEAEST (enlsip_functions.jl:514-537): solve A^T lam = J1^T (rx + J p).
 
     Note the reference calls this with its *default* eps_rank = sqrt(eps)
-    (:523), not the solver option; we reproduce that."""
-    tmax = dims.tmax
+    (:523), not the solver option; we reproduce that.  (Only called on
+    the full-rank path, where t == rankA <= ka.)"""
+    l, ka = dims.l, dims.ka
     eps_rank = jnp.sqrt(jnp.finfo(rx.dtype).eps)
     prankA = pseudo_rank(F_A.diag, t, eps_rank)
     cols = jnp.arange(dims.n) < t
     J1t = jnp.where(cols[:, None], JQ1.T, 0.0)  # (n, m) rows >= t zero
     b_full = J1t @ (rx + J @ p_gn)              # (n,)
-    b = b_full[:tmax]
-    v = solve_upper(F_A.R[:, :tmax], b, prankA)
-    lam = v[invperm(F_A.perm)]
+    v = solve_upper(F_A.R[:ka, :ka], b_full[:ka], prankA)
+    lam = jnp.zeros(l, rx.dtype).at[:ka].set(v)[invperm(F_A.perm)]
     if scaling:
         lam = lam * act.diag_scale
     return jnp.where(act.valid, lam, 0.0)
@@ -208,12 +209,12 @@ def second_mult_estimate(F_A: FactorA, JQ1: jax.Array, rx: jax.Array,
 
 def _p1_stabilized(F_L11: FactorL11, dimA: jax.Array, rankA: jax.Array) -> jax.Array:
     """p1 for the rank-deficient path: solve R11[:dimA,:dimA] dp1 = qt_b,
-    unpermute over the t slots, truncate to the first rankA entries
-    (enlsip_functions.jl:141-144)."""
-    tmax = F_L11.R.shape[0]
-    dp1 = solve_upper(F_L11.R[:, :tmax], F_L11.qt_b, dimA)
-    p1_full = jnp.zeros(tmax, dp1.dtype).at[F_L11.perm].set(dp1)
-    return jnp.where(jnp.arange(tmax) < rankA, p1_full, 0.0)
+    unpermute over the ka pivot slots, truncate to the first rankA
+    entries (enlsip_functions.jl:141-144).  Returns a (ka,) vector."""
+    ka = F_L11.R.shape[0]
+    dp1 = solve_upper(F_L11.R[:ka, :ka], F_L11.qt_b[:ka], dimA)
+    p1_full = jnp.zeros(ka, dp1.dtype).at[F_L11.perm].set(dp1)
+    return jnp.where(jnp.arange(ka) < rankA, p1_full, 0.0)
 
 
 def sub_search_direction(act: ActiveConstraint, rx: jax.Array, F_A: FactorA,
@@ -232,15 +233,17 @@ def sub_search_direction(act: ActiveConstraint, rx: jax.Array, F_A: FactorA,
     Both branches are computed and selected (cheap triangular solves),
     which keeps this usable inside vmapped lanes without cond overhead.
     """
-    n, tmax = dims.n, dims.tmax
+    n, ka = dims.n, dims.ka
     bvec = -act.cx_act[F_A.perm]
-    p1_full = solve_lower(F_A.R.T[:, :tmax], bvec, t)
+    # Full-rank branch only valid when t <= ka (code 1 implies it);
+    # the solve is clamped so the unselected branch stays finite.
+    p1_full = solve_lower(F_A.R.T[:ka, :ka], bvec[:ka], jnp.minimum(t, ka))
     p1_stab = _p1_stabilized(F_L11, dimA, rankA)
     use_full = code == 1
-    p1 = jnp.where(use_full, p1_full, p1_stab)
-    b = jnp.where(use_full, bvec, F_L11.qt_b)
+    p1 = jnp.where(use_full, p1_full, p1_stab)   # (ka,)
+    b = jnp.where(use_full, bvec, F_L11.qt_b)    # (l,)
     # Embed p1 into y-coordinates (first rankA slots; rankA == t if code 1).
-    p1n = jnp.zeros(n, rx.dtype).at[:tmax].set(p1)
+    p1n = jnp.zeros(n, rx.dtype).at[:ka].set(p1)
     d = j2_transform_d(F_J2, JQ1, p1n, rx)     # (m,)
     kk = min(dims.m, n)
     dp2 = solve_upper(F_J2.R[:, :kk], d[:kk], dimJ2)  # (kk,)
@@ -300,23 +303,23 @@ def newton_search_direction(res_fn: Callable, cons_fn: Callable, x: jax.Array,
     permutes E by F_L11.p in a way that would index out of bounds for
     n > t (:395-399); we apply the intended permutation on the leading
     t coordinates and identity elsewhere."""
-    n, tmax = dims.n, dims.tmax
+    n, ka, l = dims.n, dims.ka, dims.l
     bvec = -act.cx_act[F_A.perm]
-    p1_full = solve_lower(F_A.R.T[:, :tmax], bvec, t)
+    p1_full = solve_lower(F_A.R.T[:ka, :ka], bvec[:ka], jnp.minimum(t, ka))
     p1_stab = _p1_stabilized(F_L11, rankA, rankA)
     p1 = jnp.where(t == rankA, p1_full, p1_stab)
-    p1n = jnp.zeros(n, x.dtype).at[:tmax].set(p1)
+    p1n = jnp.zeros(n, x.dtype).at[:ka].set(p1)
 
     # Scatter slot multipliers to the full constraint vector.
-    lam_full = jnp.zeros(dims.l, x.dtype).at[view.active_list[:tmax]].set(
+    lam_full = jnp.zeros(l, x.dtype).at[view.active_list].set(
         jnp.where(act.valid, lam, 0.0))
     r_mat, c_mat = hessian_contractions(res_fn, cons_fn, x, rx, lam_full)
     Gamma = r_mat - c_mat
     E = right_q_apply(F_A.f, qt_apply(F_A.f, Gamma))
     # Permute leading-t coordinates by F_L11.p when t > rankA (:396-399).
     idn = jnp.arange(n, dtype=jnp.int32)
-    permf = jnp.where(idn < tmax,
-                      jnp.pad(F_L11.perm, (0, n - tmax) if n > tmax else (0, 0))[:n],
+    permf = jnp.where(idn < ka,
+                      jnp.pad(F_L11.perm, (0, n - ka) if n > ka else (0, 0))[:n],
                       idn)
     permf = jnp.where(jnp.arange(n) < t, permf, idn)
     Ep = E[permf][:, permf]

@@ -33,7 +33,18 @@ class Dims:
 
     @property
     def tmax(self) -> int:
-        return min(self.l, self.n)
+        """Working-set slot-buffer size.  The reference's INIALC can
+        activate every non-positive inequality (enlsip_functions.jl:
+        847-855) — t is NOT capped at n at initialization; only EVADD
+        enforces t <= min(l, n) (:617).  Buffers are therefore l-sized.
+        """
+        return self.l
+
+    @property
+    def ka(self) -> int:
+        """Rank cap of the active-constraint factorization:
+        rankA <= min(n, l) (the R factor of A^T is (ka, l))."""
+        return min(self.n, self.l)
 
 
 @dataclasses.dataclass(frozen=True)

@@ -185,6 +185,29 @@ def _ad_jac(fn: Callable) -> Callable:
     return jax.jacfwd(fn)
 
 
+def _model_functions(model: CnlsModel, dtype):
+    """Dtype-cast (res, jac_res, cons, jac_cons) closures for a model.
+
+    Cached on the model instance per dtype so repeated ``solve`` calls
+    on the same model reuse the same callables (and hence the jit
+    cache)."""
+    key = jnp.dtype(dtype).name
+    cache = getattr(model, "_fn_cache", None)
+    if cache is None:
+        cache = {}
+        object.__setattr__(model, "_fn_cache", cache)
+    if key not in cache:
+        def _cast(fn):
+            return lambda x: jnp.asarray(fn(x), dtype)
+
+        cons0, jac_cons0 = build_constraint_functions(model)
+        cache[key] = (_cast(model.residuals),
+                      _cast(model.jacobian_residuals
+                            or _ad_jac(model.residuals)),
+                      _cast(cons0), _cast(jac_cons0))
+    return cache[key]
+
+
 def build_constraint_functions(model: CnlsModel):
     """Concatenate eq || ineq || bounds into single (cons, jac_cons)
     closures, stacking order [eq; ineq; x-lb; ub-x]
@@ -249,9 +272,7 @@ def solve(model: CnlsModel, *, silent: bool = True, max_iter: int = 100,
     abs_tol = 1e-10 if abs_tol is None else abs_tol
 
     model.constraints_scaling = scaling
-    res_fn = model.residuals
-    jac_res = model.jacobian_residuals or _ad_jac(model.residuals)
-    cons_fn, jac_cons = build_constraint_functions(model)
+    res_fn, jac_res, cons_fn, jac_cons = _model_functions(model, dtype)
 
     n, m, q = model.nb_parameters, model.nb_residuals, model.nb_eqcons
     l = total_nb_constraints(model)

@@ -91,11 +91,28 @@ def _panel_T(V: jax.Array, taus: jax.Array, nb: int) -> jax.Array:
     return jnp.where(live[:, :, None] & live[:, None, :], T, 0.0)
 
 
+def _use_pallas(rows: int, cols: int, itemsize: int) -> bool:
+    from .pallas_qr import fits_vmem
+    kmax = min(rows, cols)
+    try:
+        backend = jax.default_backend()
+    except Exception:  # pragma: no cover - no backend configured
+        return False
+    return (backend in ("tpu", "axon") and kmax >= 192
+            and fits_vmem(rows, cols, itemsize))
+
+
 def cpqr_blocked(M: jax.Array, nb: int = NB) -> CPQRF:
     """Column-pivoted QR of a fixed-shape buffer (zeroed invalid
-    columns pivot last); exact column norms every step."""
+    columns pivot last); exact column norms every step.
+
+    Large factorizations on TPU dispatch to the fused Pallas kernel
+    (whole matrix resident in VMEM, ops/pallas_qr.py)."""
     rows, cols = M.shape
     kmax = min(rows, cols)
+    if _use_pallas(rows, cols, M.dtype.itemsize):
+        from .pallas_qr import cpqr_pallas
+        return cpqr_pallas(M)
     nb = min(nb, kmax) if kmax >= nb else kmax
     kp = -(-kmax // nb) * nb
     dtype = M.dtype
