@@ -299,6 +299,18 @@ def run_chunk(carry: Carry, fns: Functions, dims: Dims, opts: Options,
     return lax.while_loop(cond, body, carry)
 
 
+@partial(jax.jit, static_argnames=("fns", "dims", "opts", "chunk"))
+def _run_chunk_jit(carry: Carry, tols: Tols, fns: Functions, dims: Dims,
+                   opts: Options, chunk: int) -> Carry:
+    return run_chunk(carry, fns, dims, opts, tols, chunk)
+
+
+@partial(jax.jit, static_argnames=("fns", "dims", "opts", "dtype_name"))
+def _init_carry_jit(x0, fns: Functions, dims: Dims, opts: Options,
+                    dtype_name: str) -> Carry:
+    return init_carry(fns, x0, dims, opts, jnp.dtype(dtype_name))
+
+
 class SolveResult(NamedTuple):
     exit_code: int
     x: jax.Array
@@ -321,12 +333,11 @@ def solve(fns: Functions, x0, dims: Dims, opts: Options, tols: Tols,
     """
     dtype = dtype or jnp.asarray(x0).dtype
     start_time = time.time()
-    carry = init_carry(fns, jnp.asarray(x0, dtype), dims, opts, dtype)
+    carry = _init_carry_jit(jnp.asarray(x0, dtype), fns, dims, opts,
+                            jnp.dtype(dtype).name)
     chunk = opts.max_iter + 1 if time_limit >= 1e3 else 1
-    step = jax.jit(partial(run_chunk, fns=fns, dims=dims, opts=opts,
-                           tols=tols, chunk=chunk))
     while True:
-        carry = step(carry)
+        carry = _run_chunk_jit(carry, tols, fns, dims, opts, chunk)
         exit_code = int(carry.exit_code)
         if exit_code != 0:
             break

@@ -92,6 +92,14 @@ def _panel_T(V: jax.Array, taus: jax.Array, nb: int) -> jax.Array:
 
 
 def _use_pallas(rows: int, cols: int, itemsize: int) -> bool:
+    """Fused-kernel dispatch gate.  The kernel is measured ~1.5x faster
+    per factorization than the XLA loop at (1998, 1000), but its Mosaic
+    compilation through this environment's remote-compile path takes
+    minutes, so it is opt-in (ENLSIP_ENABLE_PALLAS=1) until kernel
+    compiles are cached/AOT."""
+    import os
+    if not os.environ.get("ENLSIP_ENABLE_PALLAS"):
+        return False
     from .pallas_qr import fits_vmem
     kmax = min(rows, cols)
     try:
