@@ -20,6 +20,11 @@ import jax  # noqa: E402
 # backend before this file runs; the config-level override still wins.
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
+# Persistent compilation cache: the solver graph is compiled once per
+# problem shape; cache hits make repeat test runs much faster.
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.join(os.path.dirname(__file__), "..", ".jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 import pytest  # noqa: E402
 
