@@ -96,37 +96,35 @@ def bench_batched_hs65(B=512, dtype=jnp.float32):
 # --------------------------- giant-m (module-level for fn identity) ---
 
 _GM_M, _GM_N, _GM_L = 500_000, 100, 50
-_gm_rng = np.random.default_rng(3)
-_GM_W = None
-_GM_Y = None
+_GM = {}
 
 
-def _gm_data():
-    global _GM_W, _GM_Y
-    if _GM_W is None:
-        _GM_W = jnp.asarray(
-            _gm_rng.normal(size=(_GM_M, _GM_N)), jnp.float32) / np.sqrt(_GM_N)
-        xtrue = jnp.asarray(_gm_rng.normal(size=(_GM_N,)), jnp.float32)
-        z = _GM_W @ xtrue
-        _GM_Y = z + 0.1 * jnp.tanh(z) + 0.01 * jnp.asarray(
-            _gm_rng.normal(size=(_GM_M,)), jnp.float32)
-    return _GM_W, _GM_Y
+def _gm_init():
+    """Eagerly build the giant-m data OUTSIDE any trace (the closures
+    below only read the finished arrays)."""
+    if not _GM:
+        rng = np.random.default_rng(3)
+        W = np.asarray(rng.normal(size=(_GM_M, _GM_N)),
+                       np.float32) / np.sqrt(_GM_N)
+        xtrue = rng.normal(size=(_GM_N,)).astype(np.float32)
+        z = W @ xtrue
+        Y = z + 0.1 * np.tanh(z) + 0.01 * rng.normal(
+            size=(_GM_M,)).astype(np.float32)
+        _GM["W"] = jnp.asarray(W)
+        _GM["Y"] = jnp.asarray(Y)
 
 
 def _gm_res(x):
-    W, Y = _gm_data()
-    z = W @ x
-    return Y - (z + 0.1 * jnp.tanh(z))
+    z = _GM["W"] @ x
+    return _GM["Y"] - (z + 0.1 * jnp.tanh(z))
 
 
 def _gm_jac(x):
-    W, Y = _gm_data()
-    z = W @ x
-    return -(1.0 + 0.1 * (1.0 - jnp.tanh(z) ** 2))[:, None] * W
+    z = _GM["W"] @ x
+    return -(1.0 + 0.1 * (1.0 - jnp.tanh(z) ** 2))[:, None] * _GM["W"]
 
 
 def _gm_cons(x):
-    i = jnp.arange(_GM_L - 1)
     return jnp.concatenate([x[: _GM_L - 1] + 5.0,
                             jnp.array([float(_GM_N) * 4.0 - jnp.dot(x, x)])])
 
@@ -138,6 +136,7 @@ def bench_giant_m(dtype=jnp.float32, max_iter=8):
     from enlsip_tpu.core.driver import Functions
     from enlsip_tpu.core.types import Dims, Options
 
+    _gm_init()
     fns = Functions(res=_gm_res, jac_res=_gm_jac, cons=_gm_cons,
                     jac_cons=jax.jacfwd(_gm_cons))
     dims = Dims(n=_GM_N, m=_GM_M, q=0, l=_GM_L)

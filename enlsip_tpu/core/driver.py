@@ -345,9 +345,12 @@ def solve(fns: Functions, x0, dims: Dims, opts: Options, tols: Tols,
             carry = carry._replace(exit_code=jnp.int32(-11))
             exit_code = -11
             break
-    f = float(jnp.dot(carry.rx, carry.rx))
-    return SolveResult(exit_code=exit_code, x=carry.x, f=f,
-                       n_iter=int(carry.nb_iter), display=carry.display,
-                       n_display=int(carry.n_display),
-                       counters=jax.tree.map(int, carry.counters),
+    # One bundled host transfer for all small result fields.
+    f_dev = jnp.dot(carry.rx, carry.rx)
+    (f, n_iter, n_display, counters) = jax.device_get(
+        (f_dev, carry.nb_iter, carry.n_display, carry.counters))
+    return SolveResult(exit_code=exit_code, x=carry.x, f=float(f),
+                       n_iter=int(n_iter), display=carry.display,
+                       n_display=int(n_display),
+                       counters=jax.tree.map(int, counters),
                        solving_time=time.time() - start_time)

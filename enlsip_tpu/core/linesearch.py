@@ -26,13 +26,28 @@ from jax import lax
 from .types import Counters, Dims, PrevIter
 
 
+# --------------------------------------------------- accumulation dtype
+#
+# The line search's DECISIONS hinge on small differences of large merit
+# values and on the quartic-model coefficient v2 = ((v(a)-v0)/a - v1)/a,
+# which cancels catastrophically in f32 (observed: lanes stalling at an
+# infeasible vertex with alpha ~ 1e-7 that f64 escapes).  All merit /
+# model scalars therefore accumulate in f64 when x64 is available —
+# a no-op for f64 solves, and only a few (m+l)-vector promotions per
+# line search for f32 ones.  Identical decision semantics, reference
+# behavior unchanged (the reference is Float64 end-to-end).
+
+from .types import acc as _acc
+
+
 # ----------------------------------------------------------------- psi
 
 def psi(x, alpha, p, w, mask, res_fn, cons_fn, counters: Counters):
     """Merit function at x + alpha*p (:1307-1340)."""
-    x_new = x + alpha * p
-    rxn = res_fn(x_new)
-    cxn = cons_fn(x_new)
+    x_new = x + alpha.astype(x.dtype) * p
+    rxn = _acc(res_fn(x_new))
+    cxn = _acc(cons_fn(x_new))
+    w = _acc(w)
     counters = counters._replace(nb_res=counters.nb_res + 1,
                                  nb_cons=counters.nb_cons + 1)
     pen = jnp.where(mask | (cxn < 0.0), w * cxn * cxn, 0.0)
@@ -43,6 +58,7 @@ def concat_v(rx, cx, w, mask, dims: Dims):
     """CONCAT (:1635-1659): v = [rx ; sqrt(w_k) c_k (active) ;
     min-part (inactive: 0 if c_k > 0 else sqrt(w_k) c_k)], indexed by
     global constraint id at offset m."""
+    rx, cx, w = _acc(rx), _acc(cx), _acc(w)
     sw = jnp.sqrt(w)
     tail = jnp.where(mask, sw * cx, jnp.where(cx > 0.0, 0.0, sw * cx))
     return jnp.concatenate([rx, tail])
@@ -52,6 +68,7 @@ def linesearch_v1(JpAp, cx, w, mask, dims: Dims):
     """LINC2's v1 scaling (:1984-1998): constraint rows of [Jp; Ap] get
     sqrt(w) (active) or the min-part rule (inactive)."""
     m = dims.m
+    JpAp, cx, w = _acc(JpAp), _acc(cx), _acc(w)
     head, tail = JpAp[:m], JpAp[m:]
     sw = jnp.sqrt(w)
     tail = jnp.where(mask, sw * tail, jnp.where(cx > 0.0, 0.0, sw * tail))
@@ -204,7 +221,7 @@ def goldstein_armijo_step(psi0, dpsi0, alpha_min, tau, p_max, x, alpha0, p,
                           max_halvings: int):
     """GAC (:1893-1923): halve until psi(u) <= psi0 + tau u dpsi0."""
     sqr_eps = jnp.sqrt(jnp.finfo(x.dtype).eps)
-    u0 = alpha0
+    u0 = _acc(alpha0)
     exit0 = (p_max * u0 < sqr_eps) | (u0 <= alpha_min)
     psi_u0, counters = psi(x, u0, p, w, mask, res_fn, cons_fn, counters)
 
@@ -238,15 +255,16 @@ def linesearch_constrained(x, alpha0, p, rx, cx, JpAp, w, mask, psi0, dpsi0,
                            max_refine: int, gac_max: int) -> LinesearchResult:
     """LINEC (:1940-2143)."""
     eta, tau, gamma = 0.3, 0.25, 0.4
-    alpha_min, alpha_max = alpha_low, alpha_upp
-    alpha_k = jnp.minimum(alpha0, alpha_max)
-    p_max = jnp.max(jnp.abs(p))
+    psi0, dpsi0 = _acc(psi0), _acc(dpsi0)
+    alpha_min, alpha_max = _acc(alpha_low), _acc(alpha_upp)
+    alpha_k = jnp.minimum(_acc(alpha0), alpha_max)
+    p_max = _acc(jnp.max(jnp.abs(p)))
 
     v1 = linesearch_v1(JpAp, cx, w, mask, dims)
     psi_k, counters = psi(x, alpha_k, p, w, mask, res_fn, cons_fn, counters)
     diff_psi0 = psi0 - psi_k
 
-    x_new = x + alpha_k * p
+    x_new = x + alpha_k.astype(x.dtype) * p
     rx_new = res_fn(x_new)
     cx_new = cons_fn(x_new)
     counters = counters._replace(nb_res=counters.nb_res + 1,
@@ -255,14 +273,14 @@ def linesearch_constrained(x, alpha0, p, rx, cx, JpAp, w, mask, psi0, dpsi0,
     vb = concat_v(rx_new, cx_new, w, mask, dims)
     v2 = ((vb - v0) / alpha_k - v1) / alpha_k
 
-    x_min = jnp.where(diff_psi0 >= 0, alpha_k, 0.0)
+    x_min = jnp.where(diff_psi0 >= 0, alpha_k, jnp.zeros_like(alpha_k))
     a_kp1, pk, bta, pbta = minrm(v0, v1, v2, x_min, alpha_min, alpha_max)
     better_beta = (a_kp1 != bta) & (pbta < pk) & (bta <= alpha_k)
     a_kp1 = jnp.where(better_beta, bta, a_kp1)
     pk = jnp.where(better_beta, pbta, pk)
 
     # UPDATE
-    alpha_km2, psi_km2 = jnp.asarray(0.0, x.dtype), psi0
+    alpha_km2, psi_km2 = jnp.zeros_like(alpha_k), psi0
     alpha_km1, psi_km1 = alpha_k, psi_k
     alpha_k = a_kp1
     psi_k, counters = psi(x, alpha_k, p, w, mask, res_fn, cons_fn, counters)
@@ -310,7 +328,7 @@ def linesearch_constrained(x, alpha0, p, rx, cx, JpAp, w, mask, psi0, dpsi0,
         def sat(counters):
             # alpha0 not useful: redo the quartic model at alpha_k
             def redo(cnt):
-                xk = x + alpha_k * p
+                xk = x + alpha_k.astype(x.dtype) * p
                 rxn = res_fn(xk)
                 cxn = cons_fn(xk)
                 cnt = cnt._replace(nb_res=cnt.nb_res + 1,
@@ -322,7 +340,7 @@ def linesearch_constrained(x, alpha0, p, rx, cx, JpAp, w, mask, psi0, dpsi0,
                 swap = (a_n != b_n) & (pb_n < pk_n) & (b_n <= alpha_k)
                 a_n = jnp.where(swap, b_n, a_n)
                 pk_n = jnp.where(swap, pb_n, pk_n)
-                return a_n, pk_n, jnp.asarray(0.0, x.dtype), psi0, cnt
+                return a_n, pk_n, jnp.zeros_like(alpha_k), psi0, cnt
 
             def interp(cnt):
                 a_n, pk_n = minrn(alpha_k, psi_k, alpha_km1, psi_km1,
@@ -364,10 +382,18 @@ def linesearch_constrained(x, alpha0, p, rx, cx, JpAp, w, mask, psi0, dpsi0,
 def upper_bound_steplength(A, cx, p, mask, index_del, dims: Dims):
     """UPBND (:2149-2178): alpha_upp = min(3, min over inactive j with
     cx_j > 0, grad_j^T p < 0 of -cx_j / grad_j^T p); returns the capping
-    constraint's global index (-1 if none)."""
+    constraint's global index (-1 if none).
+
+    Deviation (f32 robustness): the positivity test uses the EVADD add
+    threshold sqrt(eps) instead of strict 0 — an inactive constraint
+    below it is either already in W or was refused at working-set
+    capacity; in f32 such a boundary constraint's cx rounds to +O(eps)
+    and the strict test would cap alpha at ~eps and stall the lane
+    (the f64 reference sees an exact 0 there and excludes it)."""
+    eps_add = jnp.sqrt(jnp.finfo(cx.dtype).eps)
     Ap = A @ p  # (l,)
     idx = jnp.arange(dims.l)
-    cand = (~mask) & (idx != index_del) & (cx > 0.0) & (Ap < 0.0)
+    cand = (~mask) & (idx != index_del) & (cx > eps_add) & (Ap < 0.0)
     alpha_j = -cx / jnp.where(Ap != 0, Ap, 1.0)
     vals = jnp.where(cand, alpha_j, jnp.inf)
     amin = jnp.min(vals)
@@ -432,9 +458,9 @@ def compute_steplength(res_fn, cons_fn, x, rx, J, cx, A,
         w_old, Jp, active_Ap, K, rx, cx, active_global, act.valid, t, dimA,
         weight_code, dims, eucmod_max)
 
-    wa = w[active_global]
-    cxa = cx[active_global]
-    psi0 = 0.5 * (jnp.dot(rx, rx) +
+    wa = _acc(w[active_global])
+    cxa = _acc(cx[active_global])
+    psi0 = 0.5 * (jnp.dot(_acc(rx), _acc(rx)) +
                   jnp.sum(jnp.where(act.valid, wa * cxa * cxa, 0.0)))
 
     def descent(cnt):
@@ -456,43 +482,49 @@ def compute_steplength(res_fn, cons_fn, x, rx, J, cx, A,
         psi_err, cnt = lax.cond(res.gac_error, deriv_check,
                                 lambda c: (jnp.int32(0), c), cnt)
 
-        uppbound = jnp.minimum(1.0, alpha_upp)
-        atwa = jnp.sum(jnp.where(act.valid, wa * active_Ap ** 2, 0.0))
-        pred = uppbound * (-2.0 * jnp.dot(Jp, rx) - uppbound * jnp.dot(Jp, Jp)
+        uppbound = jnp.minimum(_acc(jnp.asarray(1.0, dtype)), _acc(alpha_upp))
+        aAp = _acc(active_Ap)
+        atwa = jnp.sum(jnp.where(act.valid, wa * aAp ** 2, 0.0))
+        Jp_a, rx_a = _acc(Jp), _acc(rx)
+        pred = uppbound * (-2.0 * jnp.dot(Jp_a, rx_a)
+                           - uppbound * jnp.dot(Jp_a, Jp_a)
                            + (2.0 - uppbound ** 2) * atwa)
-        x_new = x + alpha * p
-        rx_new = res_fn(x_new)
-        cx_new = cons_fn(x_new)
+        x_new = x + alpha.astype(dtype) * p
+        rx_new = _acc(res_fn(x_new))
+        cx_new = _acc(cons_fn(x_new))
         cnt = cnt._replace(nb_res=cnt.nb_res + 1, nb_cons=cnt.nb_cons + 1)
         cxna = cx_new[active_global]
         whsum = jnp.sum(jnp.where(act.valid, wa * cxna * cxna, 0.0))
         progress = 2 * psi0 - jnp.dot(rx_new, rx_new) - whsum
         index_alpha_upp = jnp.where(
-            (index_alpha_upp != -1) & (jnp.abs(alpha - alpha_upp) > 0.1),
+            (index_alpha_upp != -1) & (jnp.abs(alpha - _acc(alpha_upp)) > 0.1),
             -1, index_alpha_upp)
         return (alpha, psi_err, index_alpha_upp, pred, progress,
                 jnp.asarray(True), cnt)
 
     def nondescent(cnt):
-        return (jnp.asarray(1.0, dtype), jnp.int32(-1), jnp.int32(-1),
-                prev.predicted_reduction, prev.progress, jnp.asarray(False),
-                cnt)
+        return (_acc(jnp.asarray(1.0, dtype)), jnp.int32(-1), jnp.int32(-1),
+                _acc(prev.predicted_reduction), _acc(prev.progress),
+                jnp.asarray(False), cnt)
 
     def gn_path(cnt):
         return lax.cond(dpsi0 >= 0, nondescent, descent, cnt)
 
     def newton_path(cnt):
         # undamped step (:2284-2291); weights stay w_old
-        return (jnp.asarray(1.0, dtype), jnp.int32(0), jnp.int32(-1),
-                prev.predicted_reduction, prev.progress, jnp.asarray(False),
-                cnt)
+        return (_acc(jnp.asarray(1.0, dtype)), jnp.int32(0), jnp.int32(-1),
+                _acc(prev.predicted_reduction), _acc(prev.progress),
+                jnp.asarray(False), cnt)
 
     (alpha, psi_err, index_alpha_upp, pred, progress, updated, counters) = \
         lax.cond(code == 2, newton_path, gn_path, counters)
 
     w_out = jnp.where(code == 2, w_old, w)
     K_out = jnp.where(code == 2, K, K_new)
-    return SteplengthResult(alpha=alpha, w=w_out, K=K_out, psi_error=psi_err,
+    # Cast decision-precision scalars back to the carry dtype.
+    return SteplengthResult(alpha=alpha.astype(dtype), w=w_out, K=K_out,
+                            psi_error=psi_err,
                             index_alpha_upp=index_alpha_upp,
-                            predicted_reduction=pred, progress=progress,
+                            predicted_reduction=pred.astype(dtype),
+                            progress=progress.astype(dtype),
                             updated_progress=updated, counters=counters)

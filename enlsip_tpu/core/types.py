@@ -67,6 +67,14 @@ class Options:
     eucmod_max_passes: int = 16
 
 
+def acc(v):
+    """Promote decision-path scalars/vectors to f64 when available
+    (no-op for f64 solves; see linesearch.py rationale)."""
+    if jax.config.jax_enable_x64:
+        return jnp.asarray(v, jnp.float64)
+    return v
+
+
 class Tols(NamedTuple):
     """Traced tolerance bundle (defaults set in api layer from eps(T))."""
 

@@ -15,7 +15,7 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-from .types import Dims
+from .types import Dims, acc as _acc
 
 
 def assort(K: jax.Array, w: jax.Array, active_global: jax.Array,
@@ -197,7 +197,9 @@ def penalty_weight_update(w_old: jax.Array, Jp: jax.Array,
     else:  # pragma: no cover - reference supports only 0 and 2
         raise ValueError(f"unsupported weight_code {norm_code}")
 
-    w_act = w[active_global]
-    BtwA2 = fcx * jnp.sum(jnp.where(valid, w_act * active_Ap * cx_act, 0.0))
-    dpsi0 = BtwA2 + Jp_rx
+    # dpsi0 decides descent vs -6 abort; accumulate at decision precision.
+    w_act = _acc(w[active_global])
+    BtwA2 = _acc(fcx) * jnp.sum(jnp.where(valid, w_act * _acc(active_Ap) *
+                                          _acc(cx_act), 0.0))
+    dpsi0 = BtwA2 + jnp.dot(_acc(Jp), _acc(rx))
     return w, dpsi0, K_new
