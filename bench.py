@@ -28,6 +28,9 @@ jax.config.update(
     "jax_compilation_cache_dir",
     _os.path.join(_os.path.dirname(_os.path.abspath(__file__)), ".jax_cache"))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+# x64 availability lets f32 solves accumulate merit/line-search decision
+# scalars in f64 (see core/linesearch.py); all array dtypes stay f32.
+jax.config.update("jax_enable_x64", True)
 
 import jax.numpy as jnp
 import numpy as np

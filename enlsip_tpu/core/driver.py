@@ -93,7 +93,7 @@ def _factor_and_gn(mask, A, cx, rx, J, gf, dims: Dims, scaling: bool,
     view = working_view(mask)
     t = view.t
     act = gather_active(A, cx, view, dims, scaling)
-    F_A = factor_active(act, gf, dims)
+    F_A = factor_active(act, gf, t, dims)
     from ..ops.qr import pseudo_rank
     rankA = pseudo_rank(F_A.diag, t, eps_rank)
     F_L11 = factor_l11(F_A, act, t)

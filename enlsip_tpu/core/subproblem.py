@@ -141,9 +141,11 @@ def gather_active(A: jax.Array, cx: jax.Array, view: WorkingView, dims: Dims,
     return ActiveConstraint(A_act, cx_act, diag_scale, valid)
 
 
-def factor_active(act: ActiveConstraint, gf: jax.Array, dims: Dims) -> FactorA:
-    """F_A = blocked pivoted QR of A_act^T; qt_gf = Q^T grad_f."""
-    f = cpqr_blocked(act.A_act.T)
+def factor_active(act: ActiveConstraint, gf: jax.Array, t: jax.Array,
+                  dims: Dims) -> FactorA:
+    """F_A = blocked pivoted QR of A_act^T (t live columns);
+    qt_gf = Q^T grad_f."""
+    f = cpqr_blocked(act.A_act.T, nsteps=t)
     return FactorA(f=f, qt_gf=qt_apply(f, gf))
 
 
@@ -152,10 +154,11 @@ def factor_l11(F_A: FactorA, act: ActiveConstraint, t: jax.Array) -> FactorL11:
     are automatically zero because the masked slots of A pivot last);
     qt_b = Q2^T (-cx_act[perm_A])."""
     l = F_A.R.shape[1]
+    ka = F_A.R.shape[0]
     i = jnp.arange(l)
     L11 = F_A.R.T                      # (l, ka)
     bvec = -jnp.where(i < t, act.cx_act[F_A.perm], 0.0)
-    f = cpqr_blocked(L11)
+    f = cpqr_blocked(L11, nsteps=jnp.minimum(t, ka))
     return FactorL11(R=f.R, perm=f.perm, qt_b=qt_apply(f, bvec), diag=f.diag)
 
 
@@ -261,7 +264,8 @@ def gn_search_direction(J: jax.Array, rx: jax.Array, act: ActiveConstraint,
     JQ1 = right_q_apply(F_A.f, J)
     cols = jnp.arange(n)
     J2buf = jnp.where(cols[None, :] >= rankA, JQ1, 0.0)
-    F_J2 = FactorJ2(f=cpqr_blocked(J2buf))
+    # Only n - rankA columns are live; skip the no-op steps.
+    F_J2 = FactorJ2(f=cpqr_blocked(J2buf, nsteps=n - rankA))
     len_diag = jnp.minimum(m, n - rankA)
     rankJ2 = pseudo_rank(F_J2.diag, len_diag, eps_rank)
     code = jnp.where(rankA == t, 1, -1).astype(jnp.int32)

@@ -110,15 +110,22 @@ def _use_pallas(rows: int, cols: int, itemsize: int) -> bool:
             and fits_vmem(rows, cols, itemsize))
 
 
-def cpqr_blocked(M: jax.Array, nb: int = NB) -> CPQRF:
+def cpqr_blocked(M: jax.Array, nb: int = NB,
+                 nsteps: jax.Array | None = None) -> CPQRF:
     """Column-pivoted QR of a fixed-shape buffer (zeroed invalid
     columns pivot last); exact column norms every step.
+
+    ``nsteps`` (traced) bounds the number of Householder steps to the
+    number of LIVE columns: steps past it would be no-ops on zero
+    columns (tau = 0), so skipping them changes nothing — but for a
+    masked buffer like the solver's J2 (live columns = n - rankA of n)
+    it removes almost the whole sequential loop.
 
     Large factorizations on TPU dispatch to the fused Pallas kernel
     (whole matrix resident in VMEM, ops/pallas_qr.py)."""
     rows, cols = M.shape
     kmax = min(rows, cols)
-    if _use_pallas(rows, cols, M.dtype.itemsize):
+    if nsteps is None and _use_pallas(rows, cols, M.dtype.itemsize):
         from .pallas_qr import cpqr_pallas
         return cpqr_pallas(M)
     nb = min(nb, kmax) if kmax >= nb else kmax
@@ -147,8 +154,9 @@ def cpqr_blocked(M: jax.Array, nb: int = NB) -> CPQRF:
         taus = taus.at[k].set(tau)
         return B, V, taus, perm
 
+    ub = kmax if nsteps is None else jnp.clip(nsteps, 0, kmax)
     B, V, taus, perm = lax.fori_loop(
-        0, kmax, step,
+        0, ub, step,
         (M, jnp.zeros((rows, kp), dtype), jnp.zeros((kp,), dtype),
          jnp.arange(cols, dtype=jnp.int32)))
     R = jnp.triu(B[:kmax, :])
