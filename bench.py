@@ -75,10 +75,10 @@ def bench_batched_hs65(B=512, dtype=jnp.float32):
     from problems import HS65, HS65_FSTAR
 
     model = et.CnlsModel(**HS65)
-    cons, jac_cons = build_constraint_functions(model)
-    fns = Functions(res=HS65["residuals"],
-                    jac_res=HS65["jacobian_residuals"],
-                    cons=cons, jac_cons=jac_cons)
+    from enlsip_tpu.models.model import _model_functions
+    res_fn, jac_res, cons, jac_cons = _model_functions(model, dtype)
+    fns = Functions(res=res_fn, jac_res=jac_res, cons=cons,
+                    jac_cons=jac_cons)
     dims = Dims(n=3, m=3, q=0, l=7)
     rng = np.random.default_rng(0)
     x0 = np.asarray(HS65["starting_point"])

@@ -19,8 +19,8 @@ from jax import lax
 
 from ..ops.qr import prefix_norm, solve_upper
 from .subproblem import (ActiveConstraint, FactorA, FactorJ2, FactorL11,
-                         GNResult, j2_transform_d, newton_search_direction,
-                         sub_search_direction)
+                         GNResult, factor_l11, j2_transform_d,
+                         newton_search_direction, sub_search_direction)
 from .types import Dims, PrevIter, WorkingView
 
 
@@ -251,11 +251,14 @@ def search_direction_analysis(res_fn: Callable, cons_fn: Callable,
 
     # --- subspace minimization branch (code == -1) --------------------
     def subspace_branch(_):
+        # F_L11 is needed here even when rankA == t (the driver only
+        # computes it lazily for the rank-deficient case).
+        F_L11_b = factor_l11(F_A, act, t)
         dimA, dimJ2 = choose_subspace_dimensions(
-            rx_sum, rx, active_cx_sum, t, rankJ2, rankA, F_L11, gn.F_J2,
+            rx_sum, rx, active_cx_sum, t, rankJ2, rankA, F_L11_b, gn.F_J2,
             gn.JQ1, prev, restart, dims)
-        p, b, d = sub_search_direction(act, rx, F_A, F_L11, gn.F_J2, gn.JQ1,
-                                       t, rankA, dimA, dimJ2,
+        p, b, d = sub_search_direction(act, rx, F_A, F_L11_b, gn.F_J2,
+                                       gn.JQ1, t, rankA, dimA, dimJ2,
                                        jnp.int32(-1), dims)
         code = jnp.where((dimA == rankA) & (dimJ2 == rankJ2), 1, -1)
         return p, b, d, dimA, dimJ2, code.astype(jnp.int32), jnp.int32(0)

@@ -42,7 +42,7 @@ from .linesearch import compute_steplength
 from .subproblem import (ActiveConstraint, FactorA, FactorL11, GNResult,
                          factor_active, factor_l11, first_mult_estimate,
                          gather_active, gn_search_direction,
-                         second_mult_estimate)
+                         second_mult_estimate, zeros_factor_l11)
 from .termination import check_termination
 from .types import (Carry, Counters, Dims, Options, PrevIter, Tols,
                     WorkingView, working_view)
@@ -89,14 +89,22 @@ class WorkingSetRound(NamedTuple):
 
 def _factor_and_gn(mask, A, cx, rx, J, gf, dims: Dims, scaling: bool,
                    eps_rank):
-    """One full factorization round: gather/scale -> F_A -> F_L11 -> GN."""
+    """One full factorization round: gather/scale -> F_A -> (F_L11) -> GN.
+
+    F_L11 is only consumed on the rank-deficient (stabilized) path, so
+    it is computed under a cond; the full-rank GN path gets a zeros
+    placeholder whose downstream products are masked away.  (ANALYS's
+    subspace and Newton branches that genuinely need F_L11 when
+    rankA == t recompute it inside their own branch.)"""
     view = working_view(mask)
     t = view.t
     act = gather_active(A, cx, view, dims, scaling)
     F_A = factor_active(act, gf, t, dims)
     from ..ops.qr import pseudo_rank
     rankA = pseudo_rank(F_A.diag, t, eps_rank)
-    F_L11 = factor_l11(F_A, act, t)
+    F_L11 = lax.cond(rankA < t,
+                     lambda: factor_l11(F_A, act, t),
+                     lambda: zeros_factor_l11(dims, F_A.R.dtype))
     gn = gn_search_direction(J, rx, act, F_A, F_L11, rankA, t, eps_rank, dims)
     return view, t, act, F_A, F_L11, gn
 

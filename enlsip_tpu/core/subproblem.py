@@ -149,6 +149,16 @@ def factor_active(act: ActiveConstraint, gf: jax.Array, t: jax.Array,
     return FactorA(f=f, qt_gf=qt_apply(f, gf))
 
 
+def zeros_factor_l11(dims: Dims, dtype) -> FactorL11:
+    """Placeholder F_L11 for paths that never read it (full-rank GN):
+    any consumer output fed by it is masked away before use."""
+    ka, l = dims.ka, dims.l
+    return FactorL11(R=jnp.zeros((ka, ka), dtype),
+                     perm=jnp.arange(ka, dtype=jnp.int32),
+                     qt_b=jnp.zeros((l,), dtype),
+                     diag=jnp.zeros((ka,), dtype))
+
+
 def factor_l11(F_A: FactorA, act: ActiveConstraint, t: jax.Array) -> FactorL11:
     """F_L11 = pivoted QR of L11 = R_A^T ((l, ka) buffer; rows beyond t
     are automatically zero because the masked slots of A pivot last);

@@ -22,8 +22,7 @@ class Dims:
     """Static problem dimensions (hashable; part of the jit cache key).
 
     n: parameters, m: residuals, q: equality constraints,
-    l: total constraints.  tmax = min(l, n) is the working-set capacity
-    (the reference enforces t <= min(l, n), enlsip_functions.jl:617).
+    l: total constraints.
     """
 
     n: int

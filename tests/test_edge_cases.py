@@ -115,3 +115,17 @@ def test_f32_solve():
     et.solve(model, dtype=jnp.float32)
     assert et.status(model) == "found_first_order_stationary_point"
     assert et.sum_sq_residuals(model) == pytest.approx(HS65_FSTAR, abs=1e-5)
+
+
+def test_f32_corner_robustness():
+    """Regression: from this start the f32 solve reaches the bound
+    corner (-4.5, 4.5, 5) exactly; rounding used to leave a
+    machine-epsilon-positive inactive bound that capped the steplength
+    at ~1e-7 and stalled the lane (f64 escapes).  The UPBND threshold
+    + f64 decision accumulation must recover it."""
+    kw = dict(HS65)
+    kw["starting_point"] = np.array([-5.22670127, 5.15938172, 0.22152288])
+    model = et.CnlsModel(**kw)
+    et.solve(model, dtype=jnp.float32)
+    assert et.status(model) == "found_first_order_stationary_point"
+    assert et.sum_sq_residuals(model) == pytest.approx(HS65_FSTAR, abs=1e-4)
