@@ -28,12 +28,15 @@ def _setup():
 
 
 def test_checkpoint_roundtrip(tmp_path):
+    from functools import partial
     fns, dims, opts, tols = _setup()
+    step = jax.jit(partial(iterate_body, fns=fns, dims=dims, opts=opts,
+                           tols=tols))
     x0 = jnp.asarray(HS65["starting_point"], jnp.float64)
     carry = init_carry(fns, x0, dims, opts, jnp.float64)
     # run 3 iterations, checkpoint, run to completion
     for _ in range(3):
-        carry = iterate_body(carry, fns, dims, opts, tols)
+        carry = step(carry)
     path = str(tmp_path / "state.npz")
     save_carry(path, carry)
 
@@ -43,7 +46,7 @@ def test_checkpoint_roundtrip(tmp_path):
 
     def finish(c):
         while int(c.exit_code) == 0:
-            c = iterate_body(c, fns, dims, opts, tols)
+            c = step(c)
         return c
 
     c1 = finish(carry)
