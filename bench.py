@@ -135,24 +135,48 @@ def _gm_cons(x):
 
 def bench_giant_m(dtype=jnp.float32, max_iter=8):
     """GN iterations/s on a 500k-row dense problem (single chip; the
-    row-sharded multi-chip variant runs the same code over a mesh)."""
-    import enlsip_tpu as et
-    from enlsip_tpu.core.driver import Functions
+    row-sharded multi-chip variant runs the same code over a mesh).
+
+    The 200 MB data arrays enter as jit ARGUMENTS (the problem closures
+    are built over tracers inside the jitted solve) — closing over
+    concrete arrays would bake them into the HLO as constants and choke
+    compilation."""
+    from functools import partial
+
+    from enlsip_tpu.core.driver import Functions, init_carry, run_chunk
     from enlsip_tpu.core.types import Dims, Options
 
     _gm_init()
-    fns = Functions(res=_gm_res, jac_res=_gm_jac, cons=_gm_cons,
-                    jac_cons=jax.jacfwd(_gm_cons))
     dims = Dims(n=_GM_N, m=_GM_M, q=0, l=_GM_L)
     opts = Options(second_derivatives=False, max_iter=max_iter)
     tols = _tols(dtype)
+
+    @jax.jit
+    def gm_solve(W, Y, x0, tols):
+        def res(x):
+            z = W @ x
+            return Y - (z + 0.1 * jnp.tanh(z))
+
+        def jac(x):
+            z = W @ x
+            return -(1.0 + 0.1 * (1.0 - jnp.tanh(z) ** 2))[:, None] * W
+
+        fns = Functions(res=res, jac_res=jac, cons=_gm_cons,
+                        jac_cons=jax.jacfwd(_gm_cons))
+        c = init_carry(fns, x0, dims, opts, dtype)
+        c = run_chunk(c, fns, dims, opts, tols, opts.max_iter + 1)
+        return c.x, c.nb_iter, c.exit_code
+
     x0 = jnp.zeros(_GM_N, dtype)
-    r = et.core_solve(fns, x0, dims, opts, tols)       # compile + run
+    W, Y = _GM["W"], _GM["Y"]
+    x, n_iter, exit_code = gm_solve(W, Y, x0, tols)     # compile + run
+    np.asarray(x)
     t0 = time.perf_counter()
-    r = et.core_solve(fns, x0, dims, opts, tols)
-    np.asarray(r.x)
+    x, n_iter, exit_code = gm_solve(W, Y, x0, tols)
+    np.asarray(x)
     dt = time.perf_counter() - t0
-    return max(r.n_iter, 1) / dt, int(r.n_iter), int(r.exit_code)
+    n_iter = int(n_iter)
+    return max(n_iter, 1) / dt, n_iter, int(exit_code)
 
 
 def main():
