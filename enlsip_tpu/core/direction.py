@@ -147,7 +147,12 @@ def determine_solving_dim(previous_dim, rank, predicted_linear_progress,
     last = jnp.clip(rank - 1, 0, C - 1)
     sd_nrm = jnp.take(sd, last)
     rh_nrm = jnp.take(rh, last)
-    psi = jnp.where(live, sd * jnp.abs(diagR), -jnp.inf)
+    # mindim maximizes psi_i = sqrt(sum_{j<=i} sd_j^2) * |R_ii| — note
+    # the reference accumulates the SQUARED CUMULATIVE norms
+    # (enlsip_functions.jl:1077-1086: dsum += l_estim_sd[i]^2 with
+    # l_estim_sd already cumulative), reproduced verbatim.
+    dsum = jnp.cumsum(jnp.where(live, sd * sd, 0.0))
+    psi = jnp.where(live, jnp.sqrt(dsum) * jnp.abs(diagR), -jnp.inf)
     mindim = (jnp.argmax(psi) + 1).astype(jnp.int32)  # first max, count
 
     was_gn = (previous_dim == rank) | (previous_dim <= 0)
