@@ -92,15 +92,16 @@ def _panel_T(V: jax.Array, taus: jax.Array, nb: int) -> jax.Array:
 
 
 def _use_pallas(rows: int, cols: int, itemsize: int) -> bool:
-    """Fused-kernel dispatch gate.  The kernel is measured ~1.5x faster
-    per factorization than the XLA loop at (1998, 1000), but its Mosaic
-    compilation through this environment's remote-compile path takes
-    minutes, so it is opt-in (ENLSIP_ENABLE_PALLAS=1) until kernel
-    compiles are cached/AOT."""
+    """Fused-kernel dispatch gate: large factorizations on TPU run the
+    v2 Pallas kernel (ops/pallas_qr2.py; transposed VMEM-resident
+    layout, ~2x the XLA loop at (1998, 1000), dynamic live-column
+    stop).  The first Mosaic compile is slow through this environment's
+    remote-compile path but lands in the persistent jax cache.
+    Set ENLSIP_DISABLE_PALLAS=1 to force the XLA loop."""
     import os
-    if not os.environ.get("ENLSIP_ENABLE_PALLAS"):
+    if os.environ.get("ENLSIP_DISABLE_PALLAS"):
         return False
-    from .pallas_qr import fits_vmem
+    from .pallas_qr2 import fits_vmem
     kmax = min(rows, cols)
     try:
         backend = jax.default_backend()
@@ -125,9 +126,9 @@ def cpqr_blocked(M: jax.Array, nb: int = NB,
     (whole matrix resident in VMEM, ops/pallas_qr.py)."""
     rows, cols = M.shape
     kmax = min(rows, cols)
-    if nsteps is None and _use_pallas(rows, cols, M.dtype.itemsize):
-        from .pallas_qr import cpqr_pallas
-        return cpqr_pallas(M)
+    if _use_pallas(rows, cols, M.dtype.itemsize):
+        from .pallas_qr2 import cpqr_pallas2
+        return cpqr_pallas2(M, nsteps=nsteps)
     nb = min(nb, kmax) if kmax >= nb else kmax
     kp = -(-kmax // nb) * nb
     dtype = M.dtype
