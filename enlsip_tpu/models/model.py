@@ -255,21 +255,22 @@ def solve(model: CnlsModel, *, silent: bool = True, max_iter: int = 100,
           c_tol: Optional[float] = None, x_tol: Optional[float] = None,
           dtype=None, weight_code: int = 2,
           second_derivatives: bool = True) -> CnlsModel:
-    """solve! (solver.jl:62-91).
+    """solve! (solver.jl:61-91).
 
-    Tolerance defaults follow the reference mapping: rel_tol =
-    sqrt(eps(T)), c_tol = x_tol = rel_tol, eps_rank = sqrt(eps(T)).
-    Note the reference passes eps_abs through *unchanged* from the
-    internal enlsip default 1e-10 (solver.jl:80-81 omits it), which we
-    reproduce; ``abs_tol`` overrides it when given.
+    Tolerance mapping is the reference's exactly: ``abs_tol`` defaults
+    to eps(T) and only seeds ``rel_tol = sqrt(abs_tol)``; c_tol and
+    x_tol default to rel_tol; eps_rank = sqrt(eps(T)); and the internal
+    epsilon-absolute stays at the enlsip default 1e-10 regardless of
+    ``abs_tol`` (solve! never forwards it, solver.jl:80-81).
     """
     if dtype is None:
         dtype = jnp.zeros(0).dtype  # respects jax_enable_x64
     eps = float(jnp.finfo(dtype).eps)
-    rel_tol = float(np.sqrt(eps)) if rel_tol is None else rel_tol
+    abs_tol = eps if abs_tol is None else abs_tol
+    rel_tol = float(np.sqrt(abs_tol)) if rel_tol is None else rel_tol
     c_tol = rel_tol if c_tol is None else c_tol
     x_tol = rel_tol if x_tol is None else x_tol
-    abs_tol = 1e-10 if abs_tol is None else abs_tol
+    eps_abs_internal = 1e-10
 
     model.constraints_scaling = scaling
     res_fn, jac_res, cons_fn, jac_cons = _model_functions(model, dtype)
@@ -282,7 +283,7 @@ def solve(model: CnlsModel, *, silent: bool = True, max_iter: int = 100,
     second_derivatives = second_derivatives and (n + m < 1000)
     opts = Options(scaling=scaling, second_derivatives=second_derivatives,
                    weight_code=weight_code, max_iter=max_iter)
-    tols = Tols(eps_abs=jnp.asarray(abs_tol, dtype),
+    tols = Tols(eps_abs=jnp.asarray(eps_abs_internal, dtype),
                 eps_rel=jnp.asarray(rel_tol, dtype),
                 eps_x=jnp.asarray(x_tol, dtype),
                 eps_c=jnp.asarray(c_tol, dtype),
