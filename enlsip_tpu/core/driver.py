@@ -37,7 +37,7 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-from .direction import AnalysResult, search_direction_analysis
+from .direction import search_direction_analysis
 from .linesearch import compute_steplength
 from .subproblem import (ActiveConstraint, FactorA, FactorL11, GNResult,
                          factor_active, factor_l11, first_mult_estimate,
@@ -124,7 +124,6 @@ def _working_set_round(mask, A, cx, rx, J, gf, index_del_in, dims: Dims,
 
     # Second-order estimate round (:745-764, :773-790): only when the
     # factorizations are full-rank.
-    kmax2 = min(dims.m, dims.n)
     full_rank = (t == gn.rankA) & (gn.rankJ2 == jnp.minimum(dims.m, dims.n - gn.rankA))
     lam2 = second_mult_estimate(F_A, gn.JQ1, rx, J, gn.p, t, act, dims,
                                 scaling)

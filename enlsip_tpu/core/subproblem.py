@@ -28,7 +28,7 @@ import jax.numpy as jnp
 
 from ..ops.blocked_qr import (CPQRF, cpqr_blocked, q_apply, qt_apply,
                               right_q_apply)
-from ..ops.qr import invperm, prefix_norm, pseudo_rank, solve_lower, solve_upper
+from ..ops.qr import invperm, pseudo_rank, solve_lower, solve_upper
 from .types import Dims, WorkingView
 
 

@@ -14,7 +14,7 @@ import jax
 import jax.numpy as jnp
 
 from ..ops.qr import prefix_dot
-from .types import Dims, PrevIter, Tols
+from .types import Dims, Tols
 
 
 def check_termination(p, code, restart, deleted, d_gn, dimJ2, grad_res,

@@ -11,7 +11,7 @@ dimA, dimJ2) is a traced int32.
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, NamedTuple
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp

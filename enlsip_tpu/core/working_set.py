@@ -14,13 +14,11 @@ lists are derived on demand (types.working_view).
 
 from __future__ import annotations
 
-from typing import NamedTuple
-
 import jax
 import jax.numpy as jnp
 from jax import lax
 
-from .types import Dims, WorkingView, working_view
+from .types import Dims, working_view
 
 
 def init_working_set(cx: jax.Array, dims: Dims) -> tuple[jax.Array, jax.Array, jax.Array]:

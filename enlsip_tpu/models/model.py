@@ -16,14 +16,14 @@ the reference's 2x2x2 case analysis.
 from __future__ import annotations
 
 import dataclasses
-from typing import Callable, Optional, Sequence
+from typing import Callable, Optional
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..core.driver import Functions, SolveResult, solve as core_solve
-from ..core.types import Counters, Dims, Options, Tols
+from ..core.driver import Functions, solve as core_solve
+from ..core.types import Dims, Options, Tols
 
 # Status codes: convert_exit_code + dict_status_codes
 # (cnls_model.jl:166-186)

@@ -22,8 +22,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..core.driver import Functions
-from ..core.types import Dims, Options, Tols
-from .batch import BatchResult, solve_batched
+from ..core.types import Dims, Options
+from .batch import solve_batched
 from .sharding import solve_batched_sharded
 
 
