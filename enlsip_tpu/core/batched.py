@@ -1,0 +1,196 @@
+"""Batch-specialized iteration body: rare expensive branches run under
+BATCH-LEVEL ``lax.cond`` instead of per-lane ``lax.cond``.
+
+Under ``vmap``, ``lax.cond``/``lax.switch`` lower to ``select`` — every
+lane computes BOTH sides of every branch, every iteration.  For the
+solver that means each lane pays: a second full working-set
+factorization round (WRKSET's second-order deletion detour,
+/root/reference/src/enlsip_functions.jl:745-790), the F_L11
+factorization, the subspace-minimization chain AND the Newton Hessian
+contraction — even when no lane needs any of them.
+
+The fix (this module): vmap the body in *sections*, and wrap each rare
+expensive section in a real branch on the batch-level scalar predicate
+``jnp.any(pred & alive)``.  When no live lane needs a section, the whole
+batch skips it; when some lane does, the section runs vmapped and a
+per-lane select keeps the untouched lanes on their cheap-path values —
+bit-identical to the per-lane cond semantics of
+:func:`enlsip_tpu.core.driver.iterate_body` in both cases.
+
+Trajectory parity with single-instance solves is asserted by
+tests/test_batch.py.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from .direction import (AnalysResult, analysis_decide, newton_direction,
+                        subspace_direction)
+from .driver import (Functions, WorkingSetRound, _factor_stage1,
+                     _post_direction, _ws_keep, _ws_round1, _ws_round2)
+from .subproblem import factor_l11, zeros_factor_l11
+from .types import Carry, Dims, Options, Tols
+
+
+def tree_where(pred, t, f):
+    """Per-lane select over two identically-shaped pytrees; ``pred`` is
+    a (B,) bool broadcast over each leaf's trailing dims."""
+    def sel(a, b):
+        p = pred.reshape(pred.shape + (1,) * (a.ndim - 1))
+        return jnp.where(p, a, b)
+    return jax.tree.map(sel, t, f)
+
+
+def _broadcast_tree(tree, B):
+    return jax.tree.map(
+        lambda a: jnp.broadcast_to(a, (B,) + jnp.shape(a)), tree)
+
+
+def batched_working_set_round(mask, A, cx, rx, J, gf, index_del, alive,
+                              dims: Dims, opts: Options,
+                              eps_rank) -> WorkingSetRound:
+    """Batched WRKSET: round 1 always (vmapped), F_L11 and the
+    second-order deletion round only when some live lane needs them."""
+    scaling = opts.scaling
+    B = mask.shape[0]
+
+    view, t, act, F_A, rankA = jax.vmap(
+        lambda mask, A, cx, gf: _factor_stage1(mask, A, cx, gf, dims,
+                                               scaling, eps_rank)
+    )(mask, A, cx, gf)
+
+    dtype = F_A.R.dtype
+    need_l11 = (rankA < t) & alive
+    zeros_l11 = _broadcast_tree(zeros_factor_l11(dims, dtype), B)
+    F_L11 = lax.cond(
+        jnp.any(need_l11),
+        lambda: tree_where(need_l11, jax.vmap(factor_l11)(F_A, act, t),
+                           zeros_l11),
+        lambda: zeros_l11)
+
+    r1 = jax.vmap(
+        lambda mask, A, cx, rx, J, gf, idel, view, t, act, F_A, rankA, F_L11:
+        _ws_round1(mask, A, cx, rx, J, gf, idel, dims, scaling, eps_rank,
+                   view, t, act, F_A, rankA, F_L11)
+    )(mask, A, cx, rx, J, gf, index_del, view, t, act, F_A, rankA, F_L11)
+
+    do2 = r1.do2 & alive
+    keep_out = jax.vmap(_ws_keep)(r1, mask)
+    out = lax.cond(
+        jnp.any(do2),
+        lambda: tree_where(
+            do2,
+            jax.vmap(lambda r1, mask, A, cx, rx, J, gf: _ws_round2(
+                r1, mask, A, cx, rx, J, gf, dims, scaling, eps_rank)
+            )(r1, mask, A, cx, rx, J, gf),
+            keep_out),
+        lambda: keep_out)
+    (mask_o, view_o, t_o, act_o, F_A_o, F_L11_o, gn_o, lam_o, deleted,
+     index_del_o) = out
+    return WorkingSetRound(mask=mask_o, view=view_o, t=t_o, act=act_o,
+                           F_A=F_A_o, F_L11=F_L11_o, gn=gn_o, lam=lam_o,
+                           grad_res=r1.grad_res, deleted=deleted,
+                           index_del=index_del_o)
+
+
+def batched_direction_analysis(fns: Functions, x, rx, cx, active_cx_sum,
+                               wsr: WorkingSetRound, alive, nb_iter, prev,
+                               restart, dims: Dims, opts: Options
+                               ) -> AnalysResult:
+    """Batched ANALYS: GNDCHK per lane (cheap, vmapped); the subspace
+    and Newton directions only when some live lane selects them."""
+    gn = wsr.gn
+    rx_sum = jnp.sum(rx * rx, axis=-1)
+
+    mc, beta = jax.vmap(
+        lambda cx, act, acs, gn, view, t, lam, it, prev, restart, cd:
+        analysis_decide(cx, act, acs, gn, view, t, lam, it, prev, restart,
+                        jnp.asarray(False), cd, dims, opts.scaling)
+    )(cx, wsr.act, active_cx_sum, gn, wsr.view, wsr.t, wsr.lam, nb_iter,
+      prev, restart, wsr.deleted)
+
+    rankA32 = gn.rankA.astype(jnp.int32)
+    rankJ232 = gn.rankJ2.astype(jnp.int32)
+    out = (gn.p, gn.b, gn.d, rankA32, rankJ232,
+           jnp.ones_like(rankA32), jnp.zeros_like(rankA32))
+
+    sub_pred = (mc == -1) & alive
+    out = lax.cond(
+        jnp.any(sub_pred),
+        lambda out: tree_where(
+            sub_pred,
+            jax.vmap(lambda rx, rxs, act, acs, gn, F_A, t, prev, restart:
+                     subspace_direction(rx, rxs, act, acs, gn, F_A, t, prev,
+                                        restart, dims)
+                     )(rx, rx_sum, wsr.act, active_cx_sum, gn, wsr.F_A,
+                       wsr.t, prev, restart),
+            out),
+        lambda out: out, out)
+
+    newton_pred = (mc == 2) & alive
+    if opts.second_derivatives:
+        out = lax.cond(
+            jnp.any(newton_pred),
+            lambda out: tree_where(
+                newton_pred,
+                jax.vmap(lambda x, rx, lam, view, act, F_A, F_L11, gn, t:
+                         newton_direction(fns.res, fns.cons, x, rx, lam,
+                                          view, act, F_A, F_L11, gn, t, dims)
+                         )(x, rx, wsr.lam, wsr.view, wsr.act, wsr.F_A,
+                           wsr.F_L11, gn, wsr.t),
+                out),
+            lambda out: out, out)
+    else:
+        p, b, d, dimA, dimJ2, code, ec = out
+        out = (p, b, d, dimA, dimJ2,
+               jnp.where(mc == 2, 2, code),
+               jnp.where(mc == 2, -4, ec))
+
+    p, b, d, dimA, dimJ2, code, error_code = out
+    speed = beta / prev.beta
+    newton_taken = (mc == 2) & jnp.asarray(opts.second_derivatives)
+    return AnalysResult(p=p, b=b, d=d, dimA=dimA, dimJ2=dimJ2, code=code,
+                        beta=beta, speed=speed, error_code=error_code,
+                        newton_taken=newton_taken)
+
+
+def batched_iterate_body(carry: Carry, fns: Functions, dims: Dims,
+                         opts: Options, tols: Tols) -> Carry:
+    """One batched ENLSIP iteration over a (B,)-leading carry; values
+    per lane are identical to :func:`driver.iterate_body`."""
+    alive = carry.exit_code == 0
+    x, rx, cx, J, A, gf = (carry.x, carry.rx, carry.cx, carry.J, carry.A,
+                           carry.gf)
+    rx_sum_start = jnp.sum(rx * rx, axis=-1)
+    cx_sum_start = jnp.sum(cx * cx, axis=-1)
+
+    wsr = batched_working_set_round(
+        carry.active_mask, A, cx, rx, J, gf, carry.index_del, alive, dims,
+        opts, tols.eps_rank)
+
+    act_idx = wsr.view.active_list[:, :dims.tmax]
+    active_cx_sum = jnp.sum(
+        jnp.where(wsr.act.valid,
+                  jnp.take_along_axis(cx, act_idx, axis=1) ** 2, 0.0),
+        axis=-1)
+
+    ana = batched_direction_analysis(
+        fns, x, rx, cx, active_cx_sum, wsr, alive, carry.nb_iter,
+        carry.prev, carry.restart, dims, opts)
+
+    return jax.vmap(
+        lambda carry, wsr, ana, acs, rss, css: _post_direction(
+            carry, fns, dims, opts, tols, wsr, ana, acs, rss, css)
+    )(carry, wsr, ana, active_cx_sum, rx_sum_start, cx_sum_start)
+
+
+def batched_guarded_body(carry: Carry, fns: Functions, dims: Dims,
+                         opts: Options, tols: Tols) -> Carry:
+    """Freeze rule over the batched body: terminated lanes keep their
+    carry unchanged."""
+    new = batched_iterate_body(carry, fns, dims, opts, tols)
+    done = carry.exit_code != 0
+    return tree_where(done, carry, new)

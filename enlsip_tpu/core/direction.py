@@ -211,6 +211,64 @@ def choose_subspace_dimensions(rx_sum, rx, active_cx_sum, t, rankJ2, rankA,
     return dimA.astype(jnp.int32), dimJ2.astype(jnp.int32)
 
 
+def analysis_decide(cx, act: ActiveConstraint, active_cx_sum, gn: GNResult,
+                    view: WorkingView, t, lam, iter_number, prev: PrevIter,
+                    restart, constraint_added, constraint_deleted,
+                    dims: Dims, scaling: bool):
+    """The cheap front of ANALYS: direction norms + GNDCHK decision
+    (:1230-1243).  Returns (method_code, beta)."""
+    m, tmax = dims.m, dims.tmax
+    rankA, rankJ2 = gn.rankA, gn.rankJ2
+    nrm_b1 = prefix_norm(gn.b, rankA)         # dimA == rankA here
+    nrm_d = jnp.sqrt(jnp.sum(gn.d * gn.d))
+    nrm_d1 = prefix_norm(gn.d, rankJ2)
+    prev_dimJ2m1 = prev.dimJ2 + prev.t - t - 1
+    nrm_d1_asprev = prefix_norm(gn.d, jnp.clip(prev_dimJ2m1, 0, m))
+
+    # min over inactive constraints of cx (GNDCHK's any(< delta))
+    inact = ~(jnp.zeros(dims.l, bool).at[view.active_list[:tmax]].set(
+        jnp.arange(tmax) < t))
+    inact_cx_min = jnp.min(jnp.where(inact, cx, jnp.inf))
+
+    return check_gn_direction(
+        nrm_b1, nrm_d1, nrm_d1_asprev, nrm_d, active_cx_sum, iter_number,
+        rankA, dims, restart, constraint_added, constraint_deleted, t, lam,
+        act.valid, inact_cx_min, prev, scaling, act.diag_scale)
+
+
+def subspace_direction(rx, rx_sum, act: ActiveConstraint, active_cx_sum,
+                       gn: GNResult, F_A: FactorA, t, prev: PrevIter,
+                       restart, dims: Dims):
+    """ANALYS's subspace-minimization branch (:1249-1253).  F_L11 is
+    needed here even when rankA == t (the driver only computes it lazily
+    for the rank-deficient case), so it is refactored locally."""
+    rankA, rankJ2 = gn.rankA, gn.rankJ2
+    F_L11_b = factor_l11(F_A, act, t)
+    dimA, dimJ2 = choose_subspace_dimensions(
+        rx_sum, rx, active_cx_sum, t, rankJ2, rankA, F_L11_b, gn.F_J2,
+        gn.JQ1, prev, restart, dims)
+    p, b, d = sub_search_direction(act, rx, F_A, F_L11_b, gn.F_J2,
+                                   gn.JQ1, t, rankA, dimA, dimJ2,
+                                   jnp.int32(-1), dims)
+    code = jnp.where((dimA == rankA) & (dimJ2 == rankJ2), 1, -1)
+    return p, b, d, dimA, dimJ2, code.astype(jnp.int32), jnp.int32(0)
+
+
+def newton_direction(res_fn: Callable, cons_fn: Callable, x, rx, lam,
+                     view: WorkingView, act: ActiveConstraint, F_A: FactorA,
+                     F_L11: FactorL11, gn: GNResult, t, dims: Dims):
+    """ANALYS's Newton branch when second derivatives are allowed
+    (:1262-1268)."""
+    n = dims.n
+    p, err = newton_search_direction(res_fn, cons_fn, x, rx, lam, view, act,
+                                     F_A, F_L11, gn.JQ1, gn.rankA, t, dims)
+    dimA = -t
+    dimJ2 = t - n
+    ec = jnp.where(err, -3, 0).astype(jnp.int32)
+    return (p, gn.b, gn.d, dimA.astype(jnp.int32), dimJ2.astype(jnp.int32),
+            jnp.int32(2), ec)
+
+
 class AnalysResult(NamedTuple):
     p: jax.Array
     b: jax.Array          # (tmax,)
@@ -234,50 +292,23 @@ def search_direction_analysis(res_fn: Callable, cons_fn: Callable,
                               scaling: bool, second_derivatives: bool
                               ) -> AnalysResult:
     """ANALYS (:1191-1291)."""
-    m, n, tmax = dims.m, dims.n, dims.tmax
     rx_sum = jnp.sum(rx * rx)
     rankA, rankJ2 = gn.rankA, gn.rankJ2
 
-    nrm_b1 = prefix_norm(gn.b, rankA)         # dimA == rankA here
-    nrm_d = jnp.sqrt(jnp.sum(gn.d * gn.d))
-    nrm_d1 = prefix_norm(gn.d, rankJ2)
-    prev_dimJ2m1 = prev.dimJ2 + prev.t - t - 1
-    nrm_d1_asprev = prefix_norm(gn.d, jnp.clip(prev_dimJ2m1, 0, m))
-
-    # min over inactive constraints of cx (GNDCHK's any(< delta))
-    inact = ~(jnp.zeros(dims.l, bool).at[view.active_list[:tmax]].set(
-        jnp.arange(tmax) < t))
-    inact_cx_min = jnp.min(jnp.where(inact, cx, jnp.inf))
-
-    method_code, beta = check_gn_direction(
-        nrm_b1, nrm_d1, nrm_d1_asprev, nrm_d, active_cx_sum, iter_number,
-        rankA, dims, restart, constraint_added, constraint_deleted, t, lam,
-        act.valid, inact_cx_min, prev, scaling, act.diag_scale)
+    method_code, beta = analysis_decide(
+        cx, act, active_cx_sum, gn, view, t, lam, iter_number, prev, restart,
+        constraint_added, constraint_deleted, dims, scaling)
 
     # --- subspace minimization branch (code == -1) --------------------
     def subspace_branch(_):
-        # F_L11 is needed here even when rankA == t (the driver only
-        # computes it lazily for the rank-deficient case).
-        F_L11_b = factor_l11(F_A, act, t)
-        dimA, dimJ2 = choose_subspace_dimensions(
-            rx_sum, rx, active_cx_sum, t, rankJ2, rankA, F_L11_b, gn.F_J2,
-            gn.JQ1, prev, restart, dims)
-        p, b, d = sub_search_direction(act, rx, F_A, F_L11_b, gn.F_J2,
-                                       gn.JQ1, t, rankA, dimA, dimJ2,
-                                       jnp.int32(-1), dims)
-        code = jnp.where((dimA == rankA) & (dimJ2 == rankJ2), 1, -1)
-        return p, b, d, dimA, dimJ2, code.astype(jnp.int32), jnp.int32(0)
+        return subspace_direction(rx, rx_sum, act, active_cx_sum, gn, F_A, t,
+                                  prev, restart, dims)
 
     # --- Newton branch (code == 2) ------------------------------------
     def newton_branch(_):
         if second_derivatives:
-            p, err = newton_search_direction(res_fn, cons_fn, x, rx, lam,
-                                             view, act, F_A, F_L11, gn.JQ1,
-                                             rankA, t, dims)
-            dimA = -t
-            dimJ2 = t - n
-            ec = jnp.where(err, -3, 0).astype(jnp.int32)
-            return p, gn.b, gn.d, dimA.astype(jnp.int32), dimJ2.astype(jnp.int32), jnp.int32(2), ec
+            return newton_direction(res_fn, cons_fn, x, rx, lam, view, act,
+                                    F_A, F_L11, gn, t, dims)
         else:
             return (gn.p, gn.b, gn.d, rankA.astype(jnp.int32),
                     rankJ2.astype(jnp.int32), jnp.int32(2), jnp.int32(-4))

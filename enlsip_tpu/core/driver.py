@@ -87,6 +87,17 @@ class WorkingSetRound(NamedTuple):
     index_del: jax.Array
 
 
+def _factor_stage1(mask, A, cx, gf, dims: Dims, scaling: bool, eps_rank):
+    """Gather/scale the active set and factor A_act^T (F_A + rank)."""
+    view = working_view(mask)
+    t = view.t
+    act = gather_active(A, cx, view, dims, scaling)
+    F_A = factor_active(act, gf, t, dims)
+    from ..ops.qr import pseudo_rank
+    rankA = pseudo_rank(F_A.diag, t, eps_rank)
+    return view, t, act, F_A, rankA
+
+
 def _factor_and_gn(mask, A, cx, rx, J, gf, dims: Dims, scaling: bool,
                    eps_rank):
     """One full factorization round: gather/scale -> F_A -> (F_L11) -> GN.
@@ -96,12 +107,8 @@ def _factor_and_gn(mask, A, cx, rx, J, gf, dims: Dims, scaling: bool,
     placeholder whose downstream products are masked away.  (ANALYS's
     subspace and Newton branches that genuinely need F_L11 when
     rankA == t recompute it inside their own branch.)"""
-    view = working_view(mask)
-    t = view.t
-    act = gather_active(A, cx, view, dims, scaling)
-    F_A = factor_active(act, gf, t, dims)
-    from ..ops.qr import pseudo_rank
-    rankA = pseudo_rank(F_A.diag, t, eps_rank)
+    view, t, act, F_A, rankA = _factor_stage1(mask, A, cx, gf, dims, scaling,
+                                              eps_rank)
     F_L11 = lax.cond(rankA < t,
                      lambda: factor_l11(F_A, act, t),
                      lambda: zeros_factor_l11(dims, F_A.R.dtype))
@@ -109,12 +116,31 @@ def _factor_and_gn(mask, A, cx, rx, J, gf, dims: Dims, scaling: bool,
     return view, t, act, F_A, F_L11, gn
 
 
-def _working_set_round(mask, A, cx, rx, J, gf, index_del_in, dims: Dims,
-                       opts: Options, eps_rank) -> WorkingSetRound:
-    """WRKSET (:686-795), see module docstring for the branch analysis."""
-    scaling = opts.scaling
-    view, t, act, F_A, F_L11, gn = _factor_and_gn(
-        mask, A, cx, rx, J, gf, dims, scaling, eps_rank)
+class WSRound1(NamedTuple):
+    """Everything the first WRKSET round produces, plus the decision
+    inputs for the (rare) second-order deletion round."""
+
+    view: WorkingView
+    t: jax.Array
+    act: ActiveConstraint
+    F_A: FactorA
+    F_L11: FactorL11
+    gn: GNResult
+    lam: jax.Array        # first estimate
+    lam_sel: jax.Array    # lam2 on the full-rank path, else lam
+    lam2: jax.Array
+    grad_res: jax.Array
+    s2: jax.Array
+    do2: jax.Array
+    index_del: jax.Array
+
+
+def _ws_round1(mask, A, cx, rx, J, gf, index_del_in, dims: Dims,
+               scaling: bool, eps_rank, view, t, act, F_A, rankA,
+               F_L11) -> WSRound1:
+    """WRKSET round 1 given stage-1 factorization results: GN direction,
+    both multiplier estimates, and the round-2 decision (:686-795)."""
+    gn = gn_search_direction(J, rx, act, F_A, F_L11, rankA, t, eps_rank, dims)
     lam, grad_res = first_mult_estimate(F_A, act, t, dims, scaling, eps_rank)
     s = check_constraint_deletion(dims.q, lam, act.valid, t, scaling,
                                   act.diag_scale, grad_res)
@@ -131,30 +157,55 @@ def _working_set_round(mask, A, cx, rx, J, gf, index_del_in, dims: Dims,
     s2 = check_constraint_deletion(dims.q, lam2, act.valid, t, scaling,
                                    act.diag_scale, jnp.asarray(0.0, rx.dtype))
     do2 = full_rank & (s2 >= 0)
+    return WSRound1(view=view, t=t, act=act, F_A=F_A, F_L11=F_L11, gn=gn,
+                    lam=lam, lam_sel=lam_sel, lam2=lam2, grad_res=grad_res,
+                    s2=s2, do2=do2, index_del=index_del)
 
-    def round2(_):
-        s2c = jnp.maximum(s2, 0)
-        gidx = view.active_list[s2c]
-        mask2 = mask.at[gidx].set(False)
-        view2, t2, act2, F_A2, F_L11_2, gn2 = _factor_and_gn(
-            mask2, A, cx, rx, J, gf, dims, scaling, eps_rank)
-        # Compact lam2: new slot j maps to old slot j (+1 past s2).
-        tmax = dims.tmax
-        j = jnp.arange(tmax)
-        lam_c = jnp.where(j < s2c, lam2[j], lam2[jnp.minimum(j + 1, tmax - 1)])
-        lam_c = jnp.where(act2.valid, lam_c, 0.0)
-        return (mask2, view2, t2, act2, F_A2, F_L11_2, gn2, lam_c,
-                jnp.asarray(True), gidx.astype(jnp.int32))
 
-    def keep(_):
-        return (mask, view, t, act, F_A, F_L11, gn, lam_sel,
-                jnp.asarray(False), index_del)
+def _ws_round2(r1: WSRound1, mask, A, cx, rx, J, gf, dims: Dims,
+               scaling: bool, eps_rank):
+    """WRKSET second-order deletion round (:745-764, :773-790): drop the
+    suggested constraint and re-run the full factorization chain."""
+    s2c = jnp.maximum(r1.s2, 0)
+    gidx = r1.view.active_list[s2c]
+    mask2 = mask.at[gidx].set(False)
+    view2, t2, act2, F_A2, F_L11_2, gn2 = _factor_and_gn(
+        mask2, A, cx, rx, J, gf, dims, scaling, eps_rank)
+    # Compact lam2: new slot j maps to old slot j (+1 past s2).
+    tmax = dims.tmax
+    j = jnp.arange(tmax)
+    lam_c = jnp.where(j < s2c, r1.lam2[j], r1.lam2[jnp.minimum(j + 1, tmax - 1)])
+    lam_c = jnp.where(act2.valid, lam_c, 0.0)
+    return (mask2, view2, t2, act2, F_A2, F_L11_2, gn2, lam_c,
+            jnp.asarray(True), gidx.astype(jnp.int32))
+
+
+def _ws_keep(r1: WSRound1, mask):
+    return (mask, r1.view, r1.t, r1.act, r1.F_A, r1.F_L11, r1.gn, r1.lam_sel,
+            jnp.asarray(False), r1.index_del)
+
+
+def _working_set_round(mask, A, cx, rx, J, gf, index_del_in, dims: Dims,
+                       opts: Options, eps_rank) -> WorkingSetRound:
+    """WRKSET (:686-795), see module docstring for the branch analysis."""
+    scaling = opts.scaling
+    view, t, act, F_A, rankA = _factor_stage1(mask, A, cx, gf, dims, scaling,
+                                              eps_rank)
+    F_L11 = lax.cond(rankA < t,
+                     lambda: factor_l11(F_A, act, t),
+                     lambda: zeros_factor_l11(dims, F_A.R.dtype))
+    r1 = _ws_round1(mask, A, cx, rx, J, gf, index_del_in, dims, scaling,
+                    eps_rank, view, t, act, F_A, rankA, F_L11)
 
     (mask_o, view_o, t_o, act_o, F_A_o, F_L11_o, gn_o, lam_o, deleted,
-     index_del_o) = lax.cond(do2, round2, keep, None)
+     index_del_o) = lax.cond(
+        r1.do2,
+        lambda _: _ws_round2(r1, mask, A, cx, rx, J, gf, dims, scaling,
+                             eps_rank),
+        lambda _: _ws_keep(r1, mask), None)
     return WorkingSetRound(mask=mask_o, view=view_o, t=t_o, act=act_o,
                            F_A=F_A_o, F_L11=F_L11_o, gn=gn_o, lam=lam_o,
-                           grad_res=grad_res, deleted=deleted,
+                           grad_res=r1.grad_res, deleted=deleted,
                            index_del=index_del_o)
 
 
@@ -193,7 +244,6 @@ def iterate_body(carry: Carry, fns: Functions, dims: Dims, opts: Options,
     """One full ENLSIP iteration (= the reference loop body :2776-2878,
     which is also the unrolled first iteration :2670-2772)."""
     x, rx, cx, J, A, gf = carry.x, carry.rx, carry.cx, carry.J, carry.A, carry.gf
-    counters = carry.counters
     rx_sum_start = jnp.dot(rx, rx)
     cx_sum_start = jnp.dot(cx, cx)
 
@@ -210,6 +260,19 @@ def iterate_body(carry: Carry, fns: Functions, dims: Dims, opts: Options,
         wsr.F_A, wsr.F_L11, wsr.view, t, wsr.lam, carry.nb_iter, carry.prev,
         carry.restart, jnp.asarray(False), wsr.deleted, dims, opts.scaling,
         opts.second_derivatives)
+    return _post_direction(carry, fns, dims, opts, tols, wsr, ana,
+                           active_cx_sum, rx_sum_start, cx_sum_start)
+
+
+def _post_direction(carry: Carry, fns: Functions, dims: Dims, opts: Options,
+                    tols: Tols, wsr: WorkingSetRound, ana, active_cx_sum,
+                    rx_sum_start, cx_sum_start) -> Carry:
+    """Everything after ANALYS: STPLNG, the step, new_point, TERCRI and
+    the bookkeeping (reference loop tail :2809-2878)."""
+    x, rx, cx, J, A = carry.x, carry.rx, carry.cx, carry.J, carry.A
+    counters = carry.counters
+    t = wsr.t
+    act_idx = wsr.view.active_list[:dims.tmax]
     # The reference bumps the residual/constraint counters through its
     # finite-difference Hessians; our AD Hessians are single evaluations.
     counters = lax.cond(

@@ -25,6 +25,7 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
+from ..core.batched import batched_guarded_body
 from ..core.driver import Functions, guarded_body, init_carry
 from ..core.types import Carry, Counters, Dims, Options, Tols
 
@@ -47,12 +48,29 @@ def init_batch(fns: Functions, x0_batch: jax.Array, dims: Dims,
 
 
 def run_batch(carry: Carry, fns: Functions, dims: Dims, opts: Options,
-              tols: Tols, max_steps: int | None = None) -> Carry:
+              tols: Tols, max_steps: int | None = None,
+              specialized: bool = True) -> Carry:
     """Advance every unconverged lane until all lanes terminate (or
-    ``max_steps`` loop trips)."""
+    ``max_steps`` loop trips).
+
+    ``specialized=True`` (default) uses the batch-specialized body
+    (core/batched.py): rare expensive branches (second working-set
+    round, F_L11, subspace, Newton) execute under batch-level conds and
+    are skipped entirely whenever no live lane needs them; per-lane
+    values are identical to the plain-vmap body.
+
+    Cap invariant: all lanes step in lockstep (a lane's nb_iter only
+    advances while its exit_code == 0 and ``record``), so loop trips
+    >= any lane's iteration count; max_iter + 2 trips suffice for every
+    lane to reach its own -2 exit.  Lanes resumed from a checkpoint
+    carry their nb_iter and hit -2 earlier, never later."""
     cap = max_steps if max_steps is not None else opts.max_iter + 2
-    body = jax.vmap(partial(guarded_body, fns=fns, dims=dims, opts=opts,
-                            tols=tols))
+    if specialized:
+        body = partial(batched_guarded_body, fns=fns, dims=dims, opts=opts,
+                       tols=tols)
+    else:
+        body = jax.vmap(partial(guarded_body, fns=fns, dims=dims, opts=opts,
+                                tols=tols))
 
     def cond(state):
         c, trips = state

@@ -22,9 +22,14 @@ jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
 # Persistent compilation cache: the solver graph is compiled once per
 # problem shape; cache hits make repeat test runs much faster.
-jax.config.update("jax_compilation_cache_dir",
-                  os.path.join(os.path.dirname(__file__), "..", ".jax_cache"))
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+# Persistent compilation cache DISABLED for the CPU suite: this
+# environment's jaxlib nondeterministically segfaults while
+# (de)serializing large CPU executables through the cache
+# (compilation_cache.{get,put}_executable_and_time) — observed killing
+# otherwise-green runs at unrelated tests.  Tests pay recompiles;
+# correctness is unaffected.  (bench.py keeps the cache on the TPU
+# path, which has been stable.)
+jax.config.update("jax_enable_compilation_cache", False)
 
 import pytest  # noqa: E402
 
