@@ -35,6 +35,22 @@ from .subproblem import factor_l11, zeros_factor_l11
 from .types import Carry, Dims, Options, Tols
 
 
+def bind_data(fns: Functions, d) -> Functions:
+    """Bind one lane's data pytree into the user closures.
+
+    With per-lane data, the ``Functions`` members take ``(x, data)``;
+    binding turns them back into the ``(x)``-only closures the core
+    solver calls.  An empty pytree (no leaves) means "no data" and
+    returns ``fns`` unchanged.
+    """
+    if not jax.tree_util.tree_leaves(d):
+        return fns
+    return Functions(res=lambda x: fns.res(x, d),
+                     jac_res=lambda x: fns.jac_res(x, d),
+                     cons=lambda x: fns.cons(x, d),
+                     jac_cons=lambda x: fns.jac_cons(x, d))
+
+
 def tree_where(pred, t, f):
     """Per-lane select over two identically-shaped pytrees; ``pred`` is
     a (B,) bool broadcast over each leaf's trailing dims."""
@@ -98,7 +114,7 @@ def batched_working_set_round(mask, A, cx, rx, J, gf, index_del, alive,
 
 def batched_direction_analysis(fns: Functions, x, rx, cx, active_cx_sum,
                                wsr: WorkingSetRound, alive, nb_iter, prev,
-                               restart, dims: Dims, opts: Options
+                               restart, dims: Dims, opts: Options, data=()
                                ) -> AnalysResult:
     """Batched ANALYS: GNDCHK per lane (cheap, vmapped); the subspace
     and Newton directions only when some live lane selects them."""
@@ -132,15 +148,17 @@ def batched_direction_analysis(fns: Functions, x, rx, cx, active_cx_sum,
 
     newton_pred = (mc == 2) & alive
     if opts.second_derivatives:
+        def lane_newton(x, rx, lam, view, act, F_A, F_L11, gn, t, d):
+            lf = bind_data(fns, d)
+            return newton_direction(lf.res, lf.cons, x, rx, lam, view, act,
+                                    F_A, F_L11, gn, t, dims)
+
         out = lax.cond(
             jnp.any(newton_pred),
             lambda out: tree_where(
                 newton_pred,
-                jax.vmap(lambda x, rx, lam, view, act, F_A, F_L11, gn, t:
-                         newton_direction(fns.res, fns.cons, x, rx, lam,
-                                          view, act, F_A, F_L11, gn, t, dims)
-                         )(x, rx, wsr.lam, wsr.view, wsr.act, wsr.F_A,
-                           wsr.F_L11, gn, wsr.t),
+                jax.vmap(lane_newton)(x, rx, wsr.lam, wsr.view, wsr.act,
+                                      wsr.F_A, wsr.F_L11, gn, wsr.t, data),
                 out),
             lambda out: out, out)
     else:
@@ -158,7 +176,7 @@ def batched_direction_analysis(fns: Functions, x, rx, cx, active_cx_sum,
 
 
 def batched_iterate_body(carry: Carry, fns: Functions, dims: Dims,
-                         opts: Options, tols: Tols) -> Carry:
+                         opts: Options, tols: Tols, data=()) -> Carry:
     """One batched ENLSIP iteration over a (B,)-leading carry; values
     per lane are identical to :func:`driver.iterate_body`."""
     alive = carry.exit_code == 0
@@ -179,18 +197,19 @@ def batched_iterate_body(carry: Carry, fns: Functions, dims: Dims,
 
     ana = batched_direction_analysis(
         fns, x, rx, cx, active_cx_sum, wsr, alive, carry.nb_iter,
-        carry.prev, carry.restart, dims, opts)
+        carry.prev, carry.restart, dims, opts, data)
 
     return jax.vmap(
-        lambda carry, wsr, ana, acs, rss, css: _post_direction(
-            carry, fns, dims, opts, tols, wsr, ana, acs, rss, css)
-    )(carry, wsr, ana, active_cx_sum, rx_sum_start, cx_sum_start)
+        lambda carry, wsr, ana, acs, rss, css, d: _post_direction(
+            carry, bind_data(fns, d), dims, opts, tols, wsr, ana, acs, rss,
+            css)
+    )(carry, wsr, ana, active_cx_sum, rx_sum_start, cx_sum_start, data)
 
 
 def batched_guarded_body(carry: Carry, fns: Functions, dims: Dims,
-                         opts: Options, tols: Tols) -> Carry:
+                         opts: Options, tols: Tols, data=()) -> Carry:
     """Freeze rule over the batched body: terminated lanes keep their
     carry unchanged."""
-    new = batched_iterate_body(carry, fns, dims, opts, tols)
+    new = batched_iterate_body(carry, fns, dims, opts, tols, data)
     done = carry.exit_code != 0
     return tree_where(done, carry, new)

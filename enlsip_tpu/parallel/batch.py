@@ -3,8 +3,8 @@ of independent CNLS instances.
 
 This is the data-parallel layer the reference does not have (SURVEY.md
 §2.4): thousands of scenario instances of the *same-shaped* problem
-(shared residual/constraint closures, per-instance data via closure
-batching or the x0 batch) advance together inside one jitted
+(shared residual/constraint closures, per-lane scenario data via the
+first-class ``data=`` pytree) advance together inside one jitted
 ``lax.while_loop``; converged lanes are frozen (guarded_body) and the
 loop exits when every lane has terminated.
 
@@ -25,7 +25,7 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-from ..core.batched import batched_guarded_body
+from ..core.batched import batched_guarded_body, bind_data
 from ..core.driver import Functions, guarded_body, init_carry
 from ..core.types import Carry, Counters, Dims, Options, Tols
 
@@ -41,15 +41,20 @@ class BatchResult(NamedTuple):
 
 
 def init_batch(fns: Functions, x0_batch: jax.Array, dims: Dims,
-               opts: Options, dtype) -> Carry:
-    """Vmapped init_carry over a (B, n) batch of starting points."""
-    return jax.vmap(lambda x0: init_carry(fns, x0, dims, opts, dtype))(
-        jnp.asarray(x0_batch, dtype))
+               opts: Options, dtype, data=()) -> Carry:
+    """Vmapped init_carry over a (B, n) batch of starting points.
+
+    ``data``: optional pytree of per-lane problem data with a leading
+    batch axis on every leaf; when non-empty, the ``fns`` closures take
+    ``(x, data_lane)`` and each lane sees its own slice."""
+    return jax.vmap(
+        lambda x0, d: init_carry(bind_data(fns, d), x0, dims, opts, dtype)
+    )(jnp.asarray(x0_batch, dtype), data)
 
 
 def run_batch(carry: Carry, fns: Functions, dims: Dims, opts: Options,
               tols: Tols, max_steps: int | None = None,
-              specialized: bool = True) -> Carry:
+              specialized: bool = True, data=()) -> Carry:
     """Advance every unconverged lane until all lanes terminate (or
     ``max_steps`` loop trips).
 
@@ -67,10 +72,11 @@ def run_batch(carry: Carry, fns: Functions, dims: Dims, opts: Options,
     cap = max_steps if max_steps is not None else opts.max_iter + 2
     if specialized:
         body = partial(batched_guarded_body, fns=fns, dims=dims, opts=opts,
-                       tols=tols)
+                       tols=tols, data=data)
     else:
-        body = jax.vmap(partial(guarded_body, fns=fns, dims=dims, opts=opts,
-                                tols=tols))
+        body = lambda c: jax.vmap(
+            lambda c1, d: guarded_body(c1, bind_data(fns, d), dims, opts,
+                                       tols))(c, data)
 
     def cond(state):
         c, trips = state
@@ -92,24 +98,27 @@ def finalize(carry: Carry) -> BatchResult:
 
 @partial(jax.jit, static_argnames=("fns", "dims", "opts", "max_steps",
                                    "dtype_name"))
-def _solve_batched_jit(x0_batch, fns: Functions, dims: Dims, opts: Options,
-                       tols: Tols, max_steps, dtype_name) -> BatchResult:
+def _solve_batched_jit(x0_batch, data, fns: Functions, dims: Dims,
+                       opts: Options, tols: Tols, max_steps,
+                       dtype_name) -> BatchResult:
     dtype = jnp.dtype(dtype_name)
-    carry = init_batch(fns, x0_batch, dims, opts, dtype)
-    carry = run_batch(carry, fns, dims, opts, tols, max_steps)
+    carry = init_batch(fns, x0_batch, dims, opts, dtype, data)
+    carry = run_batch(carry, fns, dims, opts, tols, max_steps, data=data)
     return finalize(carry)
 
 
 def solve_batched(fns: Functions, x0_batch, dims: Dims, opts: Options,
-                  tols: Tols, dtype=None) -> BatchResult:
+                  tols: Tols, dtype=None, data=None) -> BatchResult:
     """One-call batched solve of B same-shaped CNLS instances.
 
-    ``fns`` must be hashable (e.g. a Functions of top-level closures);
-    per-instance data should be baked into x0 or the closures' captured
-    batch arrays indexed by a lane id carried in x0's tail — or use the
-    lower-level init_batch/run_batch directly under your own jit.
+    ``fns`` must be hashable (e.g. a Functions of top-level closures).
+    ``data`` is an optional pytree of per-lane problem data (scenario
+    observations, targets, ...) whose leaves all carry a leading batch
+    axis of size B; when given, every closure in ``fns`` takes
+    ``(x, data)`` and lane i is called with ``data`` sliced at i.
     """
     x0_batch = jnp.asarray(x0_batch)
     dtype = dtype or x0_batch.dtype
-    return _solve_batched_jit(x0_batch.astype(dtype), fns, dims, opts, tols,
-                              None, jnp.dtype(dtype).name)
+    data = () if data is None else jax.tree.map(jnp.asarray, data)
+    return _solve_batched_jit(x0_batch.astype(dtype), data, fns, dims, opts,
+                              tols, None, jnp.dtype(dtype).name)

@@ -36,34 +36,42 @@ def batch_mesh(devices: Sequence[jax.Device] | None = None,
 
 def solve_batched_sharded(fns: Functions, x0_batch, dims: Dims,
                           opts: Options, tols: Tols, mesh: Mesh | None = None,
-                          axis: str = "batch", dtype=None) -> BatchResult:
+                          axis: str = "batch", dtype=None,
+                          data=None) -> BatchResult:
     """Batched solve with the batch dimension sharded over ``mesh``.
 
     The batch size must divide evenly over the mesh (pad with copies of
     any row and drop the tail if needed — converged duplicates cost one
-    frozen lane each).
+    frozen lane each).  ``data``: optional per-lane data pytree as in
+    :func:`solve_batched`; its leaves are sharded over the same axis.
     """
     mesh = mesh or batch_mesh()
     x0_batch = jnp.asarray(x0_batch)
     dtype = dtype or x0_batch.dtype
     B = x0_batch.shape[0]
     n_dev = mesh.devices.size
-    if B % n_dev != 0:
-        pad = n_dev - B % n_dev
-        x0_batch = jnp.concatenate(
-            [x0_batch, jnp.broadcast_to(x0_batch[-1:], (pad,) + x0_batch.shape[1:])])
+    pad = (n_dev - B % n_dev) % n_dev
+
+    def pad_lanes(a):
+        if pad == 0:
+            return a
+        return jnp.concatenate(
+            [a, jnp.broadcast_to(a[-1:], (pad,) + a.shape[1:])])
+
     sharding = NamedSharding(mesh, P(axis))
-    x0_batch = jax.device_put(x0_batch.astype(dtype), sharding)
+    x0_batch = jax.device_put(pad_lanes(x0_batch.astype(dtype)), sharding)
+    data = () if data is None else jax.tree.map(
+        lambda a: jax.device_put(pad_lanes(jnp.asarray(a)), sharding), data)
 
     # The device_put above pins the batch sharding; jit propagates it
     # through the carry and inserts the convergence all-reduce.
     @partial(jax.jit, static_argnames=("fns", "dims", "opts", "dtype_name"))
-    def _run(x0, fns, dims, opts, tols, dtype_name):
-        carry = init_batch(fns, x0, dims, opts, jnp.dtype(dtype_name))
-        carry = run_batch(carry, fns, dims, opts, tols)
+    def _run(x0, data, fns, dims, opts, tols, dtype_name):
+        carry = init_batch(fns, x0, dims, opts, jnp.dtype(dtype_name), data)
+        carry = run_batch(carry, fns, dims, opts, tols, data=data)
         return finalize(carry)
 
-    res = _run(x0_batch, fns, dims, opts, tols, jnp.dtype(dtype).name)
+    res = _run(x0_batch, data, fns, dims, opts, tols, jnp.dtype(dtype).name)
     if res.x.shape[0] != B:  # drop padding
         res = BatchResult(exit_code=res.exit_code[:B], x=res.x[:B],
                           f=res.f[:B], n_iter=res.n_iter[:B],

@@ -44,3 +44,23 @@ def perturbed_starts(batch: int, seed: int = 0, scale: float = 0.1):
     rng = np.random.default_rng(seed)
     starts = X0[None, :] * (1.0 + scale * rng.normal(size=(batch, N_PARAMS)))
     return np.clip(starts, X_LOW + 1e-3, X_UPP - 1e-3)
+
+
+# --- per-lane scenario data (the first-class ``data=`` API) -----------
+
+def residuals_data(x, y):
+    """Residuals against a per-lane observation vector ``y`` (40,)."""
+    a = x[:5]
+    b = x[5:]
+    t = jnp.asarray(_T)
+    model = jnp.sum(a[:, None] * jnp.exp(-b[:, None] * t[None, :]), axis=0)
+    return y - model
+
+
+def scenario_observations(batch: int, seed: int = 1, noise: float = 0.001):
+    """(batch, 40) noisy observations: each lane draws its own noise
+    realisation of the shared true curve."""
+    rng = np.random.default_rng(seed)
+    clean = np.sum(_TRUE[:5, None] * np.exp(-_TRUE[5:, None] * _T[None, :]),
+                   axis=0)
+    return clean[None, :] + noise * rng.normal(size=(batch, N_POINTS))

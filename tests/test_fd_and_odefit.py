@@ -64,3 +64,75 @@ def test_ode_fit_batched():
     # success is measured by reaching the data-noise-level optimum.
     good = np.asarray(res.f) < 1e-3
     assert good.mean() >= 0.75, (res.exit_code, res.f)
+
+
+def _data_fns():
+    from enlsip_tpu.core.driver import Functions
+    from enlsip_tpu.models.model import build_constraint_functions
+
+    model = et.CnlsModel(**ode_fit.model_kwargs())
+    cons, jac_cons = build_constraint_functions(model)
+    return Functions(
+        res=ode_fit.residuals_data,
+        jac_res=lambda x, y: jax.jacfwd(ode_fit.residuals_data)(x, y),
+        cons=lambda x, y: cons(x),
+        jac_cons=lambda x, y: jac_cons(x))
+
+
+def test_ode_fit_batched_per_lane_data():
+    """First-class per-lane data: each lane fits its own noisy
+    observation vector and must match the single solve on that data."""
+    from enlsip_tpu.core.driver import Functions, solve
+    from enlsip_tpu.core.types import Dims, Options, Tols
+    from enlsip_tpu.parallel import solve_batched
+
+    B = 6
+    fns = _data_fns()
+    dims = Dims(n=10, m=40, q=0, l=20)
+    rel = float(np.sqrt(jnp.finfo(jnp.float64).eps))
+    tols = Tols(*(jnp.float64(v) for v in (1e-10, rel, rel, rel, rel)))
+    ys = ode_fit.scenario_observations(B, noise=0.01)
+    x0 = np.broadcast_to(ode_fit.X0, (B, 10))
+
+    res = solve_batched(fns, x0, dims, Options(), tols, data=ys)
+    f = np.asarray(res.f)
+    assert np.all(f < 1e-1)
+    # Different data -> different optima (data actually flowed per lane).
+    assert np.std(np.asarray(res.x)[:, 0]) > 0
+    # Lanes must match their own single-instance solves.  The batched
+    # kernels reduce in a different order than the single-instance ones
+    # and this multiexponential fit is ill-conditioned, so the match is
+    # semantic (same point, same success/failure), not bitwise — the
+    # bitwise batch-parity contract is covered on HS65 in test_batch.py.
+    for i in range(B):
+        y_i = jnp.asarray(ys[i])
+        single = Functions(res=lambda x: fns.res(x, y_i),
+                           jac_res=lambda x: fns.jac_res(x, y_i),
+                           cons=lambda x: fns.cons(x, y_i),
+                           jac_cons=lambda x: fns.jac_cons(x, y_i))
+        sr = solve(single, jnp.asarray(ode_fit.X0, jnp.float64), dims,
+                   Options(), tols)
+        np.testing.assert_allclose(np.asarray(res.f[i]), sr.f,
+                                   rtol=1e-6, atol=1e-12)
+        np.testing.assert_allclose(np.asarray(res.x[i]), np.asarray(sr.x),
+                                   rtol=1e-4, atol=1e-6)
+        assert (int(res.exit_code[i]) > 0) == (sr.exit_code > 0)
+
+
+def test_ode_fit_sharded_per_lane_data():
+    """Per-lane data under mesh sharding (uneven batch exercises data
+    padding)."""
+    from enlsip_tpu.core.types import Dims, Options, Tols
+    from enlsip_tpu.parallel import batch_mesh, solve_batched_sharded
+
+    B = 5  # not a multiple of 8 devices -> padding path
+    fns = _data_fns()
+    dims = Dims(n=10, m=40, q=0, l=20)
+    rel = float(np.sqrt(jnp.finfo(jnp.float64).eps))
+    tols = Tols(*(jnp.float64(v) for v in (1e-10, rel, rel, rel, rel)))
+    ys = ode_fit.scenario_observations(B, noise=0.01)
+    x0 = np.broadcast_to(ode_fit.X0, (B, 10))
+    res = solve_batched_sharded(fns, x0, dims, Options(), tols,
+                                mesh=batch_mesh(), data=ys)
+    assert res.x.shape[0] == B
+    assert np.all(np.asarray(res.f) < 1e-1)
