@@ -192,6 +192,13 @@ def bench_giant_m(dtype=jnp.float32, max_iter=8):
     return max(n_iter, 1) / dt, n_iter, int(exit_code)
 
 
+def _qr_path():
+    """Which CPQR path the CR n=1000 factorizations actually take
+    (the J2 buffer there is ~(1998, 1000) f32)."""
+    from enlsip_tpu.ops.blocked_qr import _use_pallas
+    return "pallas" if _use_pallas(1998, 1000, 4) else "xla"
+
+
 def main():
     t_cr, status = bench_chained_rosenbrock()
     try:
@@ -220,6 +227,7 @@ def main():
                                        if gm_rate else gm_rate),
         "giant_m_iters": gm_iters,
         "giant_m_exit": gm_exit,
+        "qr_path": _qr_path(),
         "device": str(jax.devices()[0]),
     }
     print(json.dumps(out))
