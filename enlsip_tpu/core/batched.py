@@ -67,7 +67,7 @@ def _broadcast_tree(tree, B):
 
 def batched_working_set_round(mask, A, cx, rx, J, gf, index_del, alive,
                               dims: Dims, opts: Options,
-                              eps_rank) -> WorkingSetRound:
+                              eps_rank, rdims=None) -> WorkingSetRound:
     """Batched WRKSET: round 1 always (vmapped), F_L11 and the
     second-order deletion round only when some live lane needs them."""
     scaling = opts.scaling
@@ -88,10 +88,11 @@ def batched_working_set_round(mask, A, cx, rx, J, gf, index_del, alive,
         lambda: zeros_l11)
 
     r1 = jax.vmap(
-        lambda mask, A, cx, rx, J, gf, idel, view, t, act, F_A, rankA, F_L11:
-        _ws_round1(mask, A, cx, rx, J, gf, idel, dims, scaling, eps_rank,
-                   view, t, act, F_A, rankA, F_L11)
-    )(mask, A, cx, rx, J, gf, index_del, view, t, act, F_A, rankA, F_L11)
+        lambda mask, A, cx, rx, J, gf, idel, view, t, act, F_A, rankA, F_L11,
+        rd: _ws_round1(mask, A, cx, rx, J, gf, idel, dims, scaling, eps_rank,
+                       view, t, act, F_A, rankA, F_L11, rd)
+    )(mask, A, cx, rx, J, gf, index_del, view, t, act, F_A, rankA, F_L11,
+      rdims)
 
     do2 = r1.do2 & alive
     keep_out = jax.vmap(_ws_keep)(r1, mask)
@@ -99,9 +100,9 @@ def batched_working_set_round(mask, A, cx, rx, J, gf, index_del, alive,
         jnp.any(do2),
         lambda: tree_where(
             do2,
-            jax.vmap(lambda r1, mask, A, cx, rx, J, gf: _ws_round2(
-                r1, mask, A, cx, rx, J, gf, dims, scaling, eps_rank)
-            )(r1, mask, A, cx, rx, J, gf),
+            jax.vmap(lambda r1, mask, A, cx, rx, J, gf, rd: _ws_round2(
+                r1, mask, A, cx, rx, J, gf, dims, scaling, eps_rank, rd)
+            )(r1, mask, A, cx, rx, J, gf, rdims),
             keep_out),
         lambda: keep_out)
     (mask_o, view_o, t_o, act_o, F_A_o, F_L11_o, gn_o, lam_o, deleted,
@@ -114,19 +115,19 @@ def batched_working_set_round(mask, A, cx, rx, J, gf, index_del, alive,
 
 def batched_direction_analysis(fns: Functions, x, rx, cx, active_cx_sum,
                                wsr: WorkingSetRound, alive, nb_iter, prev,
-                               restart, dims: Dims, opts: Options, data=()
-                               ) -> AnalysResult:
+                               restart, dims: Dims, opts: Options, data=(),
+                               rdims=None) -> AnalysResult:
     """Batched ANALYS: GNDCHK per lane (cheap, vmapped); the subspace
     and Newton directions only when some live lane selects them."""
     gn = wsr.gn
     rx_sum = jnp.sum(rx * rx, axis=-1)
 
     mc, beta = jax.vmap(
-        lambda cx, act, acs, gn, view, t, lam, it, prev, restart, cd:
+        lambda cx, act, acs, gn, view, t, lam, it, prev, restart, cd, rd:
         analysis_decide(cx, act, acs, gn, view, t, lam, it, prev, restart,
-                        jnp.asarray(False), cd, dims, opts.scaling)
+                        jnp.asarray(False), cd, dims, opts.scaling, rd)
     )(cx, wsr.act, active_cx_sum, gn, wsr.view, wsr.t, wsr.lam, nb_iter,
-      prev, restart, wsr.deleted)
+      prev, restart, wsr.deleted, rdims)
 
     rankA32 = gn.rankA.astype(jnp.int32)
     rankJ232 = gn.rankJ2.astype(jnp.int32)
@@ -148,17 +149,18 @@ def batched_direction_analysis(fns: Functions, x, rx, cx, active_cx_sum,
 
     newton_pred = (mc == 2) & alive
     if opts.second_derivatives:
-        def lane_newton(x, rx, lam, view, act, F_A, F_L11, gn, t, d):
+        def lane_newton(x, rx, lam, view, act, F_A, F_L11, gn, t, d, rd):
             lf = bind_data(fns, d)
             return newton_direction(lf.res, lf.cons, x, rx, lam, view, act,
-                                    F_A, F_L11, gn, t, dims)
+                                    F_A, F_L11, gn, t, dims, rd)
 
         out = lax.cond(
             jnp.any(newton_pred),
             lambda out: tree_where(
                 newton_pred,
                 jax.vmap(lane_newton)(x, rx, wsr.lam, wsr.view, wsr.act,
-                                      wsr.F_A, wsr.F_L11, gn, wsr.t, data),
+                                      wsr.F_A, wsr.F_L11, gn, wsr.t, data,
+                                      rdims),
                 out),
             lambda out: out, out)
     else:
@@ -176,18 +178,23 @@ def batched_direction_analysis(fns: Functions, x, rx, cx, active_cx_sum,
 
 
 def batched_iterate_body(carry: Carry, fns: Functions, dims: Dims,
-                         opts: Options, tols: Tols, data=()) -> Carry:
+                         opts: Options, tols: Tols, data=(),
+                         rdims=None) -> Carry:
     """One batched ENLSIP iteration over a (B,)-leading carry; values
     per lane are identical to :func:`driver.iterate_body`."""
     alive = carry.exit_code == 0
     x, rx, cx, J, A, gf = (carry.x, carry.rx, carry.cx, carry.J, carry.A,
                            carry.gf)
     rx_sum_start = jnp.sum(rx * rx, axis=-1)
-    cx_sum_start = jnp.sum(cx * cx, axis=-1)
+    if rdims is None:
+        cx_sum_start = jnp.sum(cx * cx, axis=-1)
+    else:
+        real = jnp.arange(dims.l)[None, :] < rdims.l[:, None]
+        cx_sum_start = jnp.sum(jnp.where(real, cx * cx, 0.0), axis=-1)
 
     wsr = batched_working_set_round(
         carry.active_mask, A, cx, rx, J, gf, carry.index_del, alive, dims,
-        opts, tols.eps_rank)
+        opts, tols.eps_rank, rdims)
 
     act_idx = wsr.view.active_list[:, :dims.tmax]
     active_cx_sum = jnp.sum(
@@ -197,19 +204,21 @@ def batched_iterate_body(carry: Carry, fns: Functions, dims: Dims,
 
     ana = batched_direction_analysis(
         fns, x, rx, cx, active_cx_sum, wsr, alive, carry.nb_iter,
-        carry.prev, carry.restart, dims, opts, data)
+        carry.prev, carry.restart, dims, opts, data, rdims)
 
     return jax.vmap(
-        lambda carry, wsr, ana, acs, rss, css, d: _post_direction(
+        lambda carry, wsr, ana, acs, rss, css, d, rd: _post_direction(
             carry, bind_data(fns, d), dims, opts, tols, wsr, ana, acs, rss,
-            css)
-    )(carry, wsr, ana, active_cx_sum, rx_sum_start, cx_sum_start, data)
+            css, rd)
+    )(carry, wsr, ana, active_cx_sum, rx_sum_start, cx_sum_start, data,
+      rdims)
 
 
 def batched_guarded_body(carry: Carry, fns: Functions, dims: Dims,
-                         opts: Options, tols: Tols, data=()) -> Carry:
+                         opts: Options, tols: Tols, data=(),
+                         rdims=None) -> Carry:
     """Freeze rule over the batched body: terminated lanes keep their
     carry unchanged."""
-    new = batched_iterate_body(carry, fns, dims, opts, tols, data)
+    new = batched_iterate_body(carry, fns, dims, opts, tols, data, rdims)
     done = carry.exit_code != 0
     return tree_where(done, carry, new)

@@ -21,21 +21,22 @@ from ..ops.qr import prefix_norm, solve_upper
 from .subproblem import (ActiveConstraint, FactorA, FactorJ2, FactorL11,
                          GNResult, factor_l11, j2_transform_d,
                          newton_search_direction, sub_search_direction)
-from .types import Dims, PrevIter, WorkingView
+from .types import Dims, PrevIter, WorkingView, rdims_or
 
 
 def check_gn_direction(b1nrm, d1nrm, d1nrm_as_km1, dnrm, active_c_sum,
                        iter_number, rankA, dims: Dims, restart,
                        constraint_added, constraint_deleted, t, lam, valid,
                        inact_cx_min, prev: PrevIter, scaling: bool,
-                       diag_scale) -> tuple[jax.Array, jax.Array]:
+                       diag_scale, rdims=None) -> tuple[jax.Array, jax.Array]:
     """GNDCHK (:943-1030).  Returns (method_code, beta_k) with
     method_code in {1 (GN), -1 (subspace), 2 (Newton)}.
 
     ``inact_cx_min``: min over inactive constraints of cx (+inf if none)
     — the only thing the reference reads from the inactive set here
     (``any(<(delta), inact_c)``)."""
-    n, m, q, l = dims.n, dims.m, dims.q, dims.l
+    rd = rdims_or(rdims, dims)
+    n, m, q, l = rd.n, rd.m, rd.q, rd.l
     dtype = b1nrm.dtype
     eps_rel = jnp.finfo(dtype).eps
     delta, c1, c2, c3, c4, c5 = 0.1, 0.5, 0.1, 4.0, 10.0, 0.05
@@ -214,7 +215,7 @@ def choose_subspace_dimensions(rx_sum, rx, active_cx_sum, t, rankJ2, rankA,
 def analysis_decide(cx, act: ActiveConstraint, active_cx_sum, gn: GNResult,
                     view: WorkingView, t, lam, iter_number, prev: PrevIter,
                     restart, constraint_added, constraint_deleted,
-                    dims: Dims, scaling: bool):
+                    dims: Dims, scaling: bool, rdims=None):
     """The cheap front of ANALYS: direction norms + GNDCHK decision
     (:1230-1243).  Returns (method_code, beta)."""
     m, tmax = dims.m, dims.tmax
@@ -233,7 +234,7 @@ def analysis_decide(cx, act: ActiveConstraint, active_cx_sum, gn: GNResult,
     return check_gn_direction(
         nrm_b1, nrm_d1, nrm_d1_asprev, nrm_d, active_cx_sum, iter_number,
         rankA, dims, restart, constraint_added, constraint_deleted, t, lam,
-        act.valid, inact_cx_min, prev, scaling, act.diag_scale)
+        act.valid, inact_cx_min, prev, scaling, act.diag_scale, rdims)
 
 
 def subspace_direction(rx, rx_sum, act: ActiveConstraint, active_cx_sum,
@@ -256,12 +257,14 @@ def subspace_direction(rx, rx_sum, act: ActiveConstraint, active_cx_sum,
 
 def newton_direction(res_fn: Callable, cons_fn: Callable, x, rx, lam,
                      view: WorkingView, act: ActiveConstraint, F_A: FactorA,
-                     F_L11: FactorL11, gn: GNResult, t, dims: Dims):
+                     F_L11: FactorL11, gn: GNResult, t, dims: Dims,
+                     rdims=None):
     """ANALYS's Newton branch when second derivatives are allowed
     (:1262-1268)."""
-    n = dims.n
+    n = rdims_or(rdims, dims).n
     p, err = newton_search_direction(res_fn, cons_fn, x, rx, lam, view, act,
-                                     F_A, F_L11, gn.JQ1, gn.rankA, t, dims)
+                                     F_A, F_L11, gn.JQ1, gn.rankA, t, dims,
+                                     rdims)
     dimA = -t
     dimJ2 = t - n
     ec = jnp.where(err, -3, 0).astype(jnp.int32)
@@ -289,15 +292,15 @@ def search_direction_analysis(res_fn: Callable, cons_fn: Callable,
                               view: WorkingView, t, lam, iter_number,
                               prev: PrevIter, restart, constraint_added,
                               constraint_deleted, dims: Dims,
-                              scaling: bool, second_derivatives: bool
-                              ) -> AnalysResult:
+                              scaling: bool, second_derivatives: bool,
+                              rdims=None) -> AnalysResult:
     """ANALYS (:1191-1291)."""
     rx_sum = jnp.sum(rx * rx)
     rankA, rankJ2 = gn.rankA, gn.rankJ2
 
     method_code, beta = analysis_decide(
         cx, act, active_cx_sum, gn, view, t, lam, iter_number, prev, restart,
-        constraint_added, constraint_deleted, dims, scaling)
+        constraint_added, constraint_deleted, dims, scaling, rdims)
 
     # --- subspace minimization branch (code == -1) --------------------
     def subspace_branch(_):
@@ -308,7 +311,7 @@ def search_direction_analysis(res_fn: Callable, cons_fn: Callable,
     def newton_branch(_):
         if second_derivatives:
             return newton_direction(res_fn, cons_fn, x, rx, lam, view, act,
-                                    F_A, F_L11, gn, t, dims)
+                                    F_A, F_L11, gn, t, dims, rdims)
         else:
             return (gn.p, gn.b, gn.d, rankA.astype(jnp.int32),
                     rankJ2.astype(jnp.int32), jnp.int32(2), jnp.int32(-4))

@@ -45,7 +45,7 @@ from .subproblem import (ActiveConstraint, FactorA, FactorL11, GNResult,
                          second_mult_estimate, zeros_factor_l11)
 from .termination import check_termination
 from .types import (Carry, Counters, Dims, Options, PrevIter, Tols,
-                    WorkingView, working_view)
+                    WorkingView, rdims_or, working_view)
 from .working_set import (check_constraint_deletion,
                           evaluate_violated_constraints, init_working_set,
                           minmax_lagrangian_mult)
@@ -98,8 +98,16 @@ def _factor_stage1(mask, A, cx, gf, dims: Dims, scaling: bool, eps_rank):
     return view, t, act, F_A, rankA
 
 
+def _cx_sq_sum(cx, dims: Dims, rdims):
+    """||cx||^2 over the lane's true l constraints (the reference's
+    dot(cx, cx); heterogeneous padding rows are excluded)."""
+    if rdims is None:
+        return jnp.dot(cx, cx)
+    return jnp.sum(jnp.where(jnp.arange(dims.l) < rdims.l, cx * cx, 0.0))
+
+
 def _factor_and_gn(mask, A, cx, rx, J, gf, dims: Dims, scaling: bool,
-                   eps_rank):
+                   eps_rank, rdims=None, tsqr_axis=None):
     """One full factorization round: gather/scale -> F_A -> (F_L11) -> GN.
 
     F_L11 is only consumed on the rank-deficient (stabilized) path, so
@@ -112,7 +120,8 @@ def _factor_and_gn(mask, A, cx, rx, J, gf, dims: Dims, scaling: bool,
     F_L11 = lax.cond(rankA < t,
                      lambda: factor_l11(F_A, act, t),
                      lambda: zeros_factor_l11(dims, F_A.R.dtype))
-    gn = gn_search_direction(J, rx, act, F_A, F_L11, rankA, t, eps_rank, dims)
+    gn = gn_search_direction(J, rx, act, F_A, F_L11, rankA, t, eps_rank, dims,
+                             rdims, tsqr_axis)
     return view, t, act, F_A, F_L11, gn
 
 
@@ -137,12 +146,14 @@ class WSRound1(NamedTuple):
 
 def _ws_round1(mask, A, cx, rx, J, gf, index_del_in, dims: Dims,
                scaling: bool, eps_rank, view, t, act, F_A, rankA,
-               F_L11) -> WSRound1:
+               F_L11, rdims=None, tsqr_axis=None) -> WSRound1:
     """WRKSET round 1 given stage-1 factorization results: GN direction,
     both multiplier estimates, and the round-2 decision (:686-795)."""
-    gn = gn_search_direction(J, rx, act, F_A, F_L11, rankA, t, eps_rank, dims)
+    rd = rdims_or(rdims, dims)
+    gn = gn_search_direction(J, rx, act, F_A, F_L11, rankA, t, eps_rank, dims,
+                             rdims, tsqr_axis)
     lam, grad_res = first_mult_estimate(F_A, act, t, dims, scaling, eps_rank)
-    s = check_constraint_deletion(dims.q, lam, act.valid, t, scaling,
+    s = check_constraint_deletion(rd.q, lam, act.valid, t, scaling,
                                   act.diag_scale, grad_res)
     # Lasting effect of the (always rolled back) first-order deletion
     # detour: del := false, index_del := 0 (:737-738).
@@ -150,11 +161,11 @@ def _ws_round1(mask, A, cx, rx, J, gf, index_del_in, dims: Dims,
 
     # Second-order estimate round (:745-764, :773-790): only when the
     # factorizations are full-rank.
-    full_rank = (t == gn.rankA) & (gn.rankJ2 == jnp.minimum(dims.m, dims.n - gn.rankA))
+    full_rank = (t == gn.rankA) & (gn.rankJ2 == jnp.minimum(rd.m, rd.n - gn.rankA))
     lam2 = second_mult_estimate(F_A, gn.JQ1, rx, J, gn.p, t, act, dims,
                                 scaling)
     lam_sel = jnp.where(full_rank, lam2, lam)
-    s2 = check_constraint_deletion(dims.q, lam2, act.valid, t, scaling,
+    s2 = check_constraint_deletion(rd.q, lam2, act.valid, t, scaling,
                                    act.diag_scale, jnp.asarray(0.0, rx.dtype))
     do2 = full_rank & (s2 >= 0)
     return WSRound1(view=view, t=t, act=act, F_A=F_A, F_L11=F_L11, gn=gn,
@@ -163,14 +174,14 @@ def _ws_round1(mask, A, cx, rx, J, gf, index_del_in, dims: Dims,
 
 
 def _ws_round2(r1: WSRound1, mask, A, cx, rx, J, gf, dims: Dims,
-               scaling: bool, eps_rank):
+               scaling: bool, eps_rank, rdims=None, tsqr_axis=None):
     """WRKSET second-order deletion round (:745-764, :773-790): drop the
     suggested constraint and re-run the full factorization chain."""
     s2c = jnp.maximum(r1.s2, 0)
     gidx = r1.view.active_list[s2c]
     mask2 = mask.at[gidx].set(False)
     view2, t2, act2, F_A2, F_L11_2, gn2 = _factor_and_gn(
-        mask2, A, cx, rx, J, gf, dims, scaling, eps_rank)
+        mask2, A, cx, rx, J, gf, dims, scaling, eps_rank, rdims, tsqr_axis)
     # Compact lam2: new slot j maps to old slot j (+1 past s2).
     tmax = dims.tmax
     j = jnp.arange(tmax)
@@ -186,7 +197,7 @@ def _ws_keep(r1: WSRound1, mask):
 
 
 def _working_set_round(mask, A, cx, rx, J, gf, index_del_in, dims: Dims,
-                       opts: Options, eps_rank) -> WorkingSetRound:
+                       opts: Options, eps_rank, rdims=None) -> WorkingSetRound:
     """WRKSET (:686-795), see module docstring for the branch analysis."""
     scaling = opts.scaling
     view, t, act, F_A, rankA = _factor_stage1(mask, A, cx, gf, dims, scaling,
@@ -195,13 +206,14 @@ def _working_set_round(mask, A, cx, rx, J, gf, index_del_in, dims: Dims,
                      lambda: factor_l11(F_A, act, t),
                      lambda: zeros_factor_l11(dims, F_A.R.dtype))
     r1 = _ws_round1(mask, A, cx, rx, J, gf, index_del_in, dims, scaling,
-                    eps_rank, view, t, act, F_A, rankA, F_L11)
+                    eps_rank, view, t, act, F_A, rankA, F_L11, rdims,
+                    opts.tsqr_axis)
 
     (mask_o, view_o, t_o, act_o, F_A_o, F_L11_o, gn_o, lam_o, deleted,
      index_del_o) = lax.cond(
         r1.do2,
         lambda _: _ws_round2(r1, mask, A, cx, rx, J, gf, dims, scaling,
-                             eps_rank),
+                             eps_rank, rdims, opts.tsqr_axis),
         lambda _: _ws_keep(r1, mask), None)
     return WorkingSetRound(mask=mask_o, view=view_o, t=t_o, act=act_o,
                            F_A=F_A_o, F_L11=F_L11_o, gn=gn_o, lam=lam_o,
@@ -210,7 +222,7 @@ def _working_set_round(mask, A, cx, rx, J, gf, index_del_in, dims: Dims,
 
 
 def init_carry(fns: Functions, x0, dims: Dims, opts: Options,
-               dtype) -> Carry:
+               dtype, rdims=None) -> Carry:
     """Seed the carry so the uniform loop body reproduces the reference's
     unrolled first iteration (:2670-2772).  The previous-iteration
     snapshot fields only need the values the first body actually reads:
@@ -219,10 +231,10 @@ def init_carry(fns: Functions, x0, dims: Dims, opts: Options,
     x0 = jnp.asarray(x0, dtype)
     counters = Counters.zeros()
     rx, J, cx, A, counters = new_point(fns, x0, counters)
-    mask, w0, K = init_working_set(cx, dims)
+    mask, w0, K = init_working_set(cx, dims, rdims)
     gf = J.T @ rx
     prev = PrevIter(
-        x=x0, rx_sum=jnp.dot(rx, rx), cx_sum=jnp.dot(cx, cx),
+        x=x0, rx_sum=jnp.dot(rx, rx), cx_sum=_cx_sq_sum(cx, dims, rdims),
         t=jnp.sum(mask).astype(jnp.int32),
         alpha=jnp.asarray(1.0, dtype), beta=jnp.asarray(0.0, dtype),
         code=jnp.int32(1), w=w0,
@@ -240,16 +252,17 @@ def init_carry(fns: Functions, x0, dims: Dims, opts: Options,
 
 
 def iterate_body(carry: Carry, fns: Functions, dims: Dims, opts: Options,
-                 tols: Tols) -> Carry:
+                 tols: Tols, rdims=None) -> Carry:
     """One full ENLSIP iteration (= the reference loop body :2776-2878,
     which is also the unrolled first iteration :2670-2772)."""
     x, rx, cx, J, A, gf = carry.x, carry.rx, carry.cx, carry.J, carry.A, carry.gf
     rx_sum_start = jnp.dot(rx, rx)
-    cx_sum_start = jnp.dot(cx, cx)
+    cx_sum_start = _cx_sq_sum(cx, dims, rdims)
 
     # --- EVSCAL + WRKSET ------------------------------------------------
     wsr = _working_set_round(carry.active_mask, A, cx, rx, J, gf,
-                             carry.index_del, dims, opts, tols.eps_rank)
+                             carry.index_del, dims, opts, tols.eps_rank,
+                             rdims)
     t = wsr.t
     act_idx = wsr.view.active_list[:dims.tmax]
     active_cx_sum = jnp.sum(jnp.where(wsr.act.valid, cx[act_idx] ** 2, 0.0))
@@ -259,14 +272,14 @@ def iterate_body(carry: Carry, fns: Functions, dims: Dims, opts: Options,
         fns.res, fns.cons, x, rx, cx, wsr.act, active_cx_sum, wsr.gn,
         wsr.F_A, wsr.F_L11, wsr.view, t, wsr.lam, carry.nb_iter, carry.prev,
         carry.restart, jnp.asarray(False), wsr.deleted, dims, opts.scaling,
-        opts.second_derivatives)
+        opts.second_derivatives, rdims)
     return _post_direction(carry, fns, dims, opts, tols, wsr, ana,
-                           active_cx_sum, rx_sum_start, cx_sum_start)
+                           active_cx_sum, rx_sum_start, cx_sum_start, rdims)
 
 
 def _post_direction(carry: Carry, fns: Functions, dims: Dims, opts: Options,
                     tols: Tols, wsr: WorkingSetRound, ana, active_cx_sum,
-                    rx_sum_start, cx_sum_start) -> Carry:
+                    rx_sum_start, cx_sum_start, rdims=None) -> Carry:
     """Everything after ANALYS: STPLNG, the step, new_point, TERCRI and
     the bookkeeping (reference loop tail :2809-2878)."""
     x, rx, cx, J, A = carry.x, carry.rx, carry.cx, carry.J, carry.A
@@ -298,7 +311,8 @@ def _post_direction(carry: Carry, fns: Functions, dims: Dims, opts: Options,
     restart_new = ana.error_code < 0
 
     sigma_min, lam_abs_max = minmax_lagrangian_mult(
-        wsr.lam, wsr.act.valid, t, dims.q, opts.scaling, wsr.act.diag_scale)
+        wsr.lam, wsr.act.valid, t, rdims_or(rdims, dims).q, opts.scaling,
+        wsr.act.diag_scale)
 
     # NOTE: the reference copies previous_iter BEFORE refreshing iter.x
     # (:2860-2862), so TERCRI's prev_iter.x is the CURRENT body's
@@ -309,7 +323,7 @@ def _post_direction(carry: Carry, fns: Functions, dims: Dims, opts: Options,
         x_new, x, cx_new, wsr.mask, rx_sum_new, gf_new,
         carry.nb_iter, opts.max_iter, tols, ana.error_code, sigma_min,
         lam_abs_max, sl.psi_error, nb_newton, sl.w, act_idx,
-        carry.time_exceeded, dims)
+        carry.time_exceeded, dims, rdims)
 
     # --- bookkeeping: display, EVADD, prev snapshot -------------------
     record = (carry.nb_iter == 0) | (exit_code == 0)
@@ -323,7 +337,7 @@ def _post_direction(carry: Carry, fns: Functions, dims: Dims, opts: Options,
     n_display = carry.n_display + jnp.where(record, 1, 0)
 
     mask_evadd, _added = evaluate_violated_constraints(
-        cx_new, wsr.mask, sl.index_alpha_upp, dims)
+        cx_new, wsr.mask, sl.index_alpha_upp, dims, rdims)
     mask_final = jnp.where(record, mask_evadd, wsr.mask)
 
     progress_out = jnp.where(sl.updated_progress, sl.progress,
@@ -347,31 +361,34 @@ def _post_direction(carry: Carry, fns: Functions, dims: Dims, opts: Options,
 
 
 def guarded_body(carry: Carry, fns: Functions, dims: Dims, opts: Options,
-                 tols: Tols) -> Carry:
+                 tols: Tols, rdims=None) -> Carry:
     """Run one iteration unless this lane has already terminated —
     the freeze rule that makes the body safe under vmap."""
-    new = iterate_body(carry, fns, dims, opts, tols)
+    new = iterate_body(carry, fns, dims, opts, tols, rdims)
     done = carry.exit_code != 0
     return jax.tree.map(lambda a, b: jnp.where(done, a, b), carry, new)
 
 
 def run_chunk(carry: Carry, fns: Functions, dims: Dims, opts: Options,
-              tols: Tols, chunk: int) -> Carry:
-    """Run up to ``chunk`` iterations inside one jitted while_loop."""
+              tols: Tols, chunk, rdims=None) -> Carry:
+    """Run up to ``chunk`` iterations inside one jitted while_loop
+    (``chunk`` may be a traced int32 — the loop condition handles it)."""
     start = carry.nb_iter
 
     def cond(c):
         return (c.exit_code == 0) & (c.nb_iter - start < chunk)
 
     def body(c):
-        return iterate_body(c, fns, dims, opts, tols)
+        return iterate_body(c, fns, dims, opts, tols, rdims)
 
     return lax.while_loop(cond, body, carry)
 
 
-@partial(jax.jit, static_argnames=("fns", "dims", "opts", "chunk"))
-def _run_chunk_jit(carry: Carry, tols: Tols, fns: Functions, dims: Dims,
-                   opts: Options, chunk: int) -> Carry:
+@partial(jax.jit, static_argnames=("fns", "dims", "opts"))
+def _run_chunk_jit(carry: Carry, tols: Tols, chunk, fns: Functions,
+                   dims: Dims, opts: Options) -> Carry:
+    # ``chunk`` is traced: every chunk size shares ONE compiled
+    # executable (the while_loop condition reads it as data).
     return run_chunk(carry, fns, dims, opts, tols, chunk)
 
 
@@ -394,26 +411,50 @@ class SolveResult(NamedTuple):
 
 def solve(fns: Functions, x0, dims: Dims, opts: Options, tols: Tols,
           time_limit: float = 1e3, dtype=None) -> SolveResult:
-    """Host-level solve: jitted chunked while_loop + wall-clock check.
+    """Host-level solve: jitted chunked while_loop + wall-clock limit.
 
-    With the default (large) time limit the whole solve is a single
-    device dispatch; with a custom limit the chunk shrinks to one
-    iteration so the time check runs between iterations exactly like
-    the reference (:2836, :2511-2512).
+    The reference checks elapsed time every iteration (:2836,
+    :2511-2512); a device loop cannot read the wall clock, so a custom
+    limit is enforced by an adaptive chunk schedule: one measured
+    iteration, then chunks sized to half the remaining budget from the
+    measured per-iteration time.  ``chunk`` is traced (every size
+    shares one compiled executable), so a limited solve costs ~3
+    dispatches total — not one dispatch per iteration.  With the
+    default (1e3 s) limit the whole loop is a single dispatch: on this
+    environment's transport one dispatch costs ~30 ms, and taxing every
+    solve 2 extra round trips to guard a 1000-second default is the
+    wrong trade (the limit is still applied between dispatches, so an
+    over-limit full solve does exit -11).
     """
     dtype = dtype or jnp.asarray(x0).dtype
     start_time = time.time()
     carry = _init_carry_jit(jnp.asarray(x0, dtype), fns, dims, opts,
                             jnp.dtype(dtype).name)
-    chunk = opts.max_iter + 1 if time_limit >= 1e3 else 1
+    adaptive = time_limit < 1e3
+    per_iter = None
     while True:
-        carry = _run_chunk_jit(carry, tols, fns, dims, opts, chunk)
-        exit_code = int(carry.exit_code)
-        if exit_code != 0:
-            break
-        if time.time() - start_time > time_limit:
+        remaining_t = time_limit - (time.time() - start_time)
+        if remaining_t <= 0:
             carry = carry._replace(exit_code=jnp.int32(-11))
             exit_code = -11
+            break
+        if not adaptive:
+            chunk = opts.max_iter + 1
+        elif per_iter is None:
+            chunk = 1  # measurement chunk (absorbs any cold compile too)
+        else:
+            chunk = max(1, min(opts.max_iter + 1,
+                               int(0.5 * remaining_t / per_iter)))
+        iter_before = int(carry.nb_iter)
+        t0 = time.time()
+        carry = _run_chunk_jit(carry, tols, jnp.int32(chunk), fns, dims, opts)
+        exit_code = int(carry.exit_code)  # syncs the dispatch
+        dt = time.time() - t0
+        done_iters = max(int(carry.nb_iter) - iter_before, 1)
+        measured = dt / done_iters
+        per_iter = measured if per_iter is None else max(
+            0.5 * per_iter, measured)
+        if exit_code != 0:
             break
     # One bundled host transfer for all small result fields.
     f_dev = jnp.dot(carry.rx, carry.rx)

@@ -29,7 +29,7 @@ import jax.numpy as jnp
 from ..ops.blocked_qr import (CPQRF, cpqr_blocked, q_apply, qt_apply,
                               right_q_apply)
 from ..ops.qr import invperm, pseudo_rank, solve_lower, solve_upper
-from .types import Dims, WorkingView
+from .types import Dims, WorkingView, rdims_or
 
 
 class ActiveConstraint(NamedTuple):
@@ -106,8 +106,13 @@ class FactorJ2(NamedTuple):
 def j2_transform_d(F_J2: "FactorJ2", JQ1: jax.Array, p1n: jax.Array,
                    rx: jax.Array) -> jax.Array:
     """d = Q3^T (-J1 p1 - rx) (J1 p1 == JQ1 @ p1n since p1n is zero
-    past the leading slots)."""
-    return qt_apply(F_J2.f, -(JQ1 @ p1n) - rx)
+    past the leading slots).  Dispatches on the factorization kind:
+    direct CPQR or the two-stage TSQR (giant-m row-sharded path)."""
+    from ..ops.tsqr import TSQRF, qt_apply_tsqr
+    v = -(JQ1 @ p1n) - rx
+    if isinstance(F_J2.f, TSQRF):
+        return qt_apply_tsqr(F_J2.f, v)
+    return qt_apply(F_J2.f, v)
 
 
 class GNResult(NamedTuple):
@@ -267,16 +272,25 @@ def sub_search_direction(act: ActiveConstraint, rx: jax.Array, F_A: FactorA,
 
 def gn_search_direction(J: jax.Array, rx: jax.Array, act: ActiveConstraint,
                         F_A: FactorA, F_L11: FactorL11, rankA: jax.Array,
-                        t: jax.Array, eps_rank: jax.Array, dims: Dims
-                        ) -> GNResult:
+                        t: jax.Array, eps_rank: jax.Array, dims: Dims,
+                        rdims=None, tsqr_axis=None) -> GNResult:
     """GNSRCH (enlsip_functions.jl:206-234)."""
-    n, m = dims.n, dims.m
+    n = dims.n
+    rd = rdims_or(rdims, dims)
     JQ1 = right_q_apply(F_A.f, J)
     cols = jnp.arange(n)
     J2buf = jnp.where(cols[None, :] >= rankA, JQ1, 0.0)
     # Only n - rankA columns are live; skip the no-op steps.
-    F_J2 = FactorJ2(f=cpqr_blocked(J2buf, nsteps=n - rankA))
-    len_diag = jnp.minimum(m, n - rankA)
+    if tsqr_axis is not None:
+        from ..ops.tsqr import tsqr_cpqr
+        F_J2 = FactorJ2(f=tsqr_cpqr(J2buf, nsteps=n - rankA,
+                                    axis=tsqr_axis))
+    else:
+        F_J2 = FactorJ2(f=cpqr_blocked(J2buf, nsteps=n - rankA))
+    # Semantic diag length (pseudo_rank's sqrt(len) tolerance factor
+    # must see the lane's true dimensions; padded columns have zero
+    # diag and never count anyway).
+    len_diag = jnp.minimum(rd.m, rd.n - rankA)
     rankJ2 = pseudo_rank(F_J2.diag, len_diag, eps_rank)
     code = jnp.where(rankA == t, 1, -1).astype(jnp.int32)
     p, b, d = sub_search_direction(act, rx, F_A, F_L11, F_J2, JQ1, t, rankA,
@@ -307,7 +321,7 @@ def newton_search_direction(res_fn: Callable, cons_fn: Callable, x: jax.Array,
                             rx: jax.Array, lam: jax.Array, view: WorkingView,
                             act: ActiveConstraint, F_A: FactorA,
                             F_L11: FactorL11, JQ1: jax.Array, rankA: jax.Array,
-                            t: jax.Array, dims: Dims
+                            t: jax.Array, dims: Dims, rdims=None
                             ) -> tuple[jax.Array, jax.Array]:
     """NEWTON (enlsip_functions.jl:348-423): KKT step on the null-space
     system with exact second-order terms.  Returns (p, error) where
@@ -318,6 +332,7 @@ def newton_search_direction(res_fn: Callable, cons_fn: Callable, x: jax.Array,
     n > t (:395-399); we apply the intended permutation on the leading
     t coordinates and identity elsewhere."""
     n, ka, l = dims.n, dims.ka, dims.l
+    n_sem = rdims_or(rdims, dims).n
     bvec = -act.cx_act[F_A.perm]
     p1_full = solve_lower(F_A.R.T[:ka, :ka], bvec[:ka], jnp.minimum(t, ka))
     p1_stab = _p1_stabilized(F_L11, rankA, rankA)
@@ -340,7 +355,11 @@ def newton_search_direction(res_fn: Callable, cons_fn: Callable, x: jax.Array,
     E_used = jnp.where(t > rankA, Ep, E)
 
     cols = jnp.arange(n)
-    in2 = cols >= rankA
+    # Padded coordinates (>= the lane's true n) are outside the Newton
+    # block: Gamma and J2 are exactly zero there, so including them
+    # would make W singular; excluded they sit on the identity part of
+    # Wm and get p2 = 0, exactly like the < rankA coordinates.
+    in2 = (cols >= rankA) & (cols < n_sem)
     J2 = jnp.where(in2[None, :], JQ1, 0.0)  # (m, n) live cols >= rankA
     W = E_used + J2.T @ J2                  # W22 on the (>=rankA) block
     W21p1 = E_used @ p1n + J2.T @ (JQ1 @ p1n)
@@ -358,6 +377,6 @@ def newton_search_direction(res_fn: Callable, cons_fn: Callable, x: jax.Array,
     p = q_apply(F_A.f, p1n + p2n)
     p = jnp.where(bad, jnp.zeros_like(p), p)
     # rankA == n: constraints determine the step fully (:379-381).
-    p = jnp.where(rankA >= n, q_apply(F_A.f, p1n), p)
-    error = bad & (rankA < n)
+    p = jnp.where(rankA >= n_sem, q_apply(F_A.f, p1n), p)
+    error = bad & (rankA < n_sem)
     return p, error

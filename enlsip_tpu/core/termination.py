@@ -14,7 +14,7 @@ import jax
 import jax.numpy as jnp
 
 from ..ops.qr import prefix_dot
-from .types import Dims, Tols
+from .types import Dims, Tols, rdims_or
 
 
 def check_termination(p, code, restart, deleted, d_gn, dimJ2, grad_res,
@@ -22,11 +22,11 @@ def check_termination(p, code, restart, deleted, d_gn, dimJ2, grad_res,
                       rx_sum, gf, nb_iter, max_iter: int, tols: Tols,
                       error_code, sigma_min, lam_abs_max, psi_error,
                       nb_newton_steps, w, active_global, time_exceeded,
-                      dims: Dims) -> jax.Array:
+                      dims: Dims, rdims=None) -> jax.Array:
     """TERCRI.  All inputs are post-step values except the factorization
     products (grad_res, d_gn, act_*) which come from the direction
     computation at the pre-step point, exactly as in the reference."""
-    m, q, l = dims.m, dims.q, dims.l
+    m, q = dims.m, rdims_or(rdims, dims).q
     dtype = x.dtype
     rel = jnp.finfo(dtype).eps
     alfnoi = rel / (jnp.linalg.norm(p) + rel)

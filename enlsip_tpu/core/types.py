@@ -46,6 +46,37 @@ class Dims:
         return min(self.n, self.l)
 
 
+class RDims(NamedTuple):
+    """Runtime (possibly traced, possibly per-lane) problem dimensions.
+
+    :class:`Dims` fixes the BUFFER shapes (static maxima under jit);
+    ``RDims`` carries the SEMANTIC dimensions the algorithm's decision
+    logic compares against (e.g. GNDCHK's ``m == n - t``, the EVADD
+    capacity bound ``min(l, n)``, TERCRI's ``t > q``).  For ordinary
+    homogeneous solves the two coincide and ``RDims.of(dims)`` yields
+    plain Python ints (compile-time constants — identical HLO to not
+    threading them at all).  For heterogeneous fused batches
+    (parallel/hetero.py) the leaves are per-lane int32 arrays: each
+    lane's problem occupies the leading n/m/q..l slots of the shared
+    max-size buffers and the padding is engineered to be inert
+    (zero residual rows, zero Jacobian columns, never-active dummy
+    constraints)."""
+
+    n: jax.Array | int
+    m: jax.Array | int
+    q: jax.Array | int
+    l: jax.Array | int
+
+    @staticmethod
+    def of(dims: "Dims") -> "RDims":
+        return RDims(n=dims.n, m=dims.m, q=dims.q, l=dims.l)
+
+
+def rdims_or(rdims, dims: "Dims") -> RDims:
+    """The semantic dims to use: ``rdims`` if given, else the static ones."""
+    return rdims if rdims is not None else RDims.of(dims)
+
+
 @dataclasses.dataclass(frozen=True)
 class Options:
     """Solver options; mirrors ``enlsip(...)`` keywords
@@ -64,6 +95,11 @@ class Options:
     linesearch_max_refine: int = 30
     gac_max_halvings: int = 60
     eucmod_max_passes: int = 16
+    # Giant-m row-sharded factorization: when set (mesh axis name), the
+    # J2 factorization uses the two-stage TSQR reduction (ops/tsqr.py)
+    # instead of GSPMD-partitioning the pivot loop.  Requires an ambient
+    # mesh (jax.set_mesh) whose named axis shards the residual rows.
+    tsqr_axis: str | None = None
 
 
 def acc(v):

@@ -18,14 +18,15 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-from .types import Dims, working_view
+from .types import Dims, rdims_or, working_view
 
 
-def init_working_set(cx: jax.Array, dims: Dims) -> tuple[jax.Array, jax.Array, jax.Array]:
+def init_working_set(cx: jax.Array, dims: Dims, rdims=None
+                     ) -> tuple[jax.Array, jax.Array, jax.Array]:
     """INIALC: initial mask (equalities + non-positive inequalities),
     initial penalty weights w_i = min(|cx_i| + 0.01, 0.1), and the
     penalty history K = 0.1 * ones(4, l)."""
-    l, q = dims.l, dims.q
+    l, q = dims.l, rdims_or(rdims, dims).q
     idx = jnp.arange(l)
     mask = (idx < q) | ((idx >= q) & (cx <= 0.0))
     w = jnp.minimum(jnp.abs(cx) + 0.01, 0.1)
@@ -86,8 +87,8 @@ def minmax_lagrangian_mult(lam: jax.Array, valid: jax.Array, t: jax.Array,
 
 
 def evaluate_violated_constraints(cx: jax.Array, mask: jax.Array,
-                                  index_alpha_upp: jax.Array, dims: Dims
-                                  ) -> tuple[jax.Array, jax.Array]:
+                                  index_alpha_upp: jax.Array, dims: Dims,
+                                  rdims=None) -> tuple[jax.Array, jax.Array]:
     """EVADD (:608-650): add every inactive constraint with
     cx < sqrt(eps) (or cx < 0.1 for the steplength-capping constraint)
     to the working set, respecting the capacity bound t <= min(l, n)
@@ -105,14 +106,18 @@ def evaluate_violated_constraints(cx: jax.Array, mask: jax.Array,
     differs in the doubly-degenerate case of a saturated working set
     whose swapped-out member is itself violated.
     """
-    l, q, n = dims.l, dims.q, dims.n
+    l = dims.l
+    rd = rdims_or(rdims, dims)
+    q = rd.q
     eps_s = jnp.sqrt(jnp.finfo(cx.dtype).eps)
     delta = 0.1
-    bnd = min(l, n)
+    bnd = jnp.minimum(rd.l, rd.n)
     view0 = working_view(mask)
     t0 = view0.t
-    # Snapshot of the inactive candidates in ascending order.
-    n_inact = l - q  # max possible inactive entries
+    # Snapshot of the inactive candidates in ascending order.  The trip
+    # count must be static: l - q when q is static, else all l slots
+    # (extra trips fail ``want`` on the never-violated padding rows).
+    n_inact = l - dims.q if rdims is None else l
     cand_list = view0.active_list[jnp.minimum(t0 + jnp.arange(l), l - 1)]
     idxg = jnp.arange(l, dtype=jnp.int32)
 

@@ -41,20 +41,24 @@ class BatchResult(NamedTuple):
 
 
 def init_batch(fns: Functions, x0_batch: jax.Array, dims: Dims,
-               opts: Options, dtype, data=()) -> Carry:
+               opts: Options, dtype, data=(), rdims=None) -> Carry:
     """Vmapped init_carry over a (B, n) batch of starting points.
 
     ``data``: optional pytree of per-lane problem data with a leading
     batch axis on every leaf; when non-empty, the ``fns`` closures take
-    ``(x, data_lane)`` and each lane sees its own slice."""
+    ``(x, data_lane)`` and each lane sees its own slice.
+
+    ``rdims``: optional per-lane RDims (leaves shaped (B,)) for
+    heterogeneous fused batches (see parallel/hetero.py)."""
     return jax.vmap(
-        lambda x0, d: init_carry(bind_data(fns, d), x0, dims, opts, dtype)
-    )(jnp.asarray(x0_batch, dtype), data)
+        lambda x0, d, rd: init_carry(bind_data(fns, d), x0, dims, opts,
+                                     dtype, rd)
+    )(jnp.asarray(x0_batch, dtype), data, rdims)
 
 
 def run_batch(carry: Carry, fns: Functions, dims: Dims, opts: Options,
               tols: Tols, max_steps: int | None = None,
-              specialized: bool = True, data=()) -> Carry:
+              specialized: bool = True, data=(), rdims=None) -> Carry:
     """Advance every unconverged lane until all lanes terminate (or
     ``max_steps`` loop trips).
 
@@ -72,11 +76,11 @@ def run_batch(carry: Carry, fns: Functions, dims: Dims, opts: Options,
     cap = max_steps if max_steps is not None else opts.max_iter + 2
     if specialized:
         body = partial(batched_guarded_body, fns=fns, dims=dims, opts=opts,
-                       tols=tols, data=data)
+                       tols=tols, data=data, rdims=rdims)
     else:
         body = lambda c: jax.vmap(
-            lambda c1, d: guarded_body(c1, bind_data(fns, d), dims, opts,
-                                       tols))(c, data)
+            lambda c1, d, rd: guarded_body(c1, bind_data(fns, d), dims, opts,
+                                           tols, rd))(c, data, rdims)
 
     def cond(state):
         c, trips = state
@@ -98,17 +102,19 @@ def finalize(carry: Carry) -> BatchResult:
 
 @partial(jax.jit, static_argnames=("fns", "dims", "opts", "max_steps",
                                    "dtype_name"))
-def _solve_batched_jit(x0_batch, data, fns: Functions, dims: Dims,
+def _solve_batched_jit(x0_batch, data, rdims, fns: Functions, dims: Dims,
                        opts: Options, tols: Tols, max_steps,
                        dtype_name) -> BatchResult:
     dtype = jnp.dtype(dtype_name)
-    carry = init_batch(fns, x0_batch, dims, opts, dtype, data)
-    carry = run_batch(carry, fns, dims, opts, tols, max_steps, data=data)
+    carry = init_batch(fns, x0_batch, dims, opts, dtype, data, rdims)
+    carry = run_batch(carry, fns, dims, opts, tols, max_steps, data=data,
+                      rdims=rdims)
     return finalize(carry)
 
 
 def solve_batched(fns: Functions, x0_batch, dims: Dims, opts: Options,
-                  tols: Tols, dtype=None, data=None) -> BatchResult:
+                  tols: Tols, dtype=None, data=None,
+                  rdims=None) -> BatchResult:
     """One-call batched solve of B same-shaped CNLS instances.
 
     ``fns`` must be hashable (e.g. a Functions of top-level closures).
@@ -116,9 +122,11 @@ def solve_batched(fns: Functions, x0_batch, dims: Dims, opts: Options,
     observations, targets, ...) whose leaves all carry a leading batch
     axis of size B; when given, every closure in ``fns`` takes
     ``(x, data)`` and lane i is called with ``data`` sliced at i.
+    ``rdims``: per-lane RDims (int32 leaves shaped (B,)) for
+    heterogeneous fused batches; see parallel/hetero.py.
     """
     x0_batch = jnp.asarray(x0_batch)
     dtype = dtype or x0_batch.dtype
     data = () if data is None else jax.tree.map(jnp.asarray, data)
-    return _solve_batched_jit(x0_batch.astype(dtype), data, fns, dims, opts,
-                              tols, None, jnp.dtype(dtype).name)
+    return _solve_batched_jit(x0_batch.astype(dtype), data, rdims, fns, dims,
+                              opts, tols, None, jnp.dtype(dtype).name)

@@ -54,21 +54,34 @@ def _carry_shardings(carry: Carry, mesh: Mesh, axis: str):
 
 def solve_rowsharded(fns: Functions, x0, dims: Dims, opts: Options,
                      tols: Tols, mesh: Mesh | None = None,
-                     axis: str = "rows", dtype=None):
+                     axis: str = "rows", dtype=None, tsqr: bool = False):
     """Solve ONE giant-m CNLS instance with residual rows sharded over
     ``mesh``.  m must divide the mesh size.  Newton is unavailable in
     this configuration (the reference itself force-disables second
     derivatives for n + m >= 1000, enlsip_functions.jl:2658); pass
     ``opts.second_derivatives=False``.
+
+    ``tsqr=True`` switches the J2 factorization from GSPMD-partitioning
+    of the pivot loop (one O(n) collective per step, ICI-friendly) to
+    the two-stage TSQR reduction (ops/tsqr.py: local panel QRs + one
+    gathered stacked-R pivoted QR — constant collective count per
+    factorization, the DCN/multi-host-friendly choice).
     """
+    import dataclasses
+
     mesh = mesh or row_mesh()
     x0 = jnp.asarray(x0)
     dtype = dtype or x0.dtype
     assert dims.m % mesh.devices.size == 0, (dims.m, mesh.devices.size)
-    carry = init_carry(fns, x0, dims, opts, dtype)
-    shardings = _carry_shardings(carry, mesh, axis)
-    carry = jax.device_put(carry, shardings)
-    step = jax.jit(partial(run_chunk, fns=fns, dims=dims, opts=opts,
-                           tols=tols, chunk=opts.max_iter + 1))
-    carry = step(carry)
+    if tsqr:
+        opts = dataclasses.replace(opts, tsqr_axis=axis)
+        assert dims.m // mesh.devices.size >= dims.n, \
+            "tsqr needs m/D >= n row panels"
+    with jax.set_mesh(mesh):
+        carry = init_carry(fns, x0, dims, opts, dtype)
+        shardings = _carry_shardings(carry, mesh, axis)
+        carry = jax.device_put(carry, shardings)
+        step = jax.jit(partial(run_chunk, fns=fns, dims=dims, opts=opts,
+                               tols=tols, chunk=opts.max_iter + 1))
+        carry = step(carry)
     return carry

@@ -37,7 +37,7 @@ def batch_mesh(devices: Sequence[jax.Device] | None = None,
 def solve_batched_sharded(fns: Functions, x0_batch, dims: Dims,
                           opts: Options, tols: Tols, mesh: Mesh | None = None,
                           axis: str = "batch", dtype=None,
-                          data=None) -> BatchResult:
+                          data=None, rdims=None) -> BatchResult:
     """Batched solve with the batch dimension sharded over ``mesh``.
 
     The batch size must divide evenly over the mesh (pad with copies of
@@ -62,16 +62,21 @@ def solve_batched_sharded(fns: Functions, x0_batch, dims: Dims,
     x0_batch = jax.device_put(pad_lanes(x0_batch.astype(dtype)), sharding)
     data = () if data is None else jax.tree.map(
         lambda a: jax.device_put(pad_lanes(jnp.asarray(a)), sharding), data)
+    rdims = None if rdims is None else jax.tree.map(
+        lambda a: jax.device_put(pad_lanes(jnp.asarray(a)), sharding), rdims)
 
     # The device_put above pins the batch sharding; jit propagates it
     # through the carry and inserts the convergence all-reduce.
     @partial(jax.jit, static_argnames=("fns", "dims", "opts", "dtype_name"))
-    def _run(x0, data, fns, dims, opts, tols, dtype_name):
-        carry = init_batch(fns, x0, dims, opts, jnp.dtype(dtype_name), data)
-        carry = run_batch(carry, fns, dims, opts, tols, data=data)
+    def _run(x0, data, rdims, fns, dims, opts, tols, dtype_name):
+        carry = init_batch(fns, x0, dims, opts, jnp.dtype(dtype_name), data,
+                           rdims)
+        carry = run_batch(carry, fns, dims, opts, tols, data=data,
+                          rdims=rdims)
         return finalize(carry)
 
-    res = _run(x0_batch, data, fns, dims, opts, tols, jnp.dtype(dtype).name)
+    res = _run(x0_batch, data, rdims, fns, dims, opts, tols,
+               jnp.dtype(dtype).name)
     if res.x.shape[0] != B:  # drop padding
         res = BatchResult(exit_code=res.exit_code[:B], x=res.x[:B],
                           f=res.f[:B], n_iter=res.n_iter[:B],

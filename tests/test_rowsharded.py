@@ -52,3 +52,48 @@ def test_rowsharded_matches_dense(eight_devices):
     np.testing.assert_allclose(np.asarray(carry.x), np.asarray(dense.x),
                                atol=1e-9)
     assert int(carry.nb_iter) == dense.n_iter
+
+def test_rowsharded_tsqr_matches_dense(eight_devices):
+    # The TSQR reduction path (ops/tsqr.py): same solution, same
+    # iteration count as the dense and GSPMD-pivot-loop paths.
+    fns, dims, opts, tols = _setup()
+    x0 = jnp.zeros(N, jnp.float64)
+    dense = et.core_solve(fns, x0, dims, opts, tols)
+
+    mesh = row_mesh(eight_devices)
+    carry = solve_rowsharded(fns, x0, dims, opts, tols, mesh=mesh,
+                             tsqr=True)
+    assert int(carry.exit_code) > 0
+    np.testing.assert_allclose(np.asarray(carry.x), np.asarray(dense.x),
+                               atol=1e-9)
+    assert int(carry.nb_iter) == dense.n_iter
+
+
+def test_tsqr_factorization_matches_direct(eight_devices):
+    # R/perm/diag of the two-stage factorization match the direct CPQR
+    # up to row signs; Q^T v agrees on the leading entries and in norm.
+    from enlsip_tpu.ops.blocked_qr import cpqr_blocked, qt_apply
+    from enlsip_tpu.ops.tsqr import tsqr_cpqr, qt_apply_tsqr
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    rng = np.random.default_rng(1)
+    m, n = 256, 8
+    M = jnp.asarray(rng.normal(size=(m, n)))
+    v = jnp.asarray(rng.normal(size=(m,)))
+    mesh = row_mesh(eight_devices)
+
+    direct = cpqr_blocked(M, nsteps=jnp.int32(n))
+    with jax.set_mesh(mesh):
+        Ms = jax.device_put(M, NamedSharding(mesh, P("rows", None)))
+        vs = jax.device_put(v, NamedSharding(mesh, P("rows")))
+        f = jax.jit(lambda M: tsqr_cpqr(M, jnp.int32(n), "rows"))(Ms)
+        d = jax.jit(qt_apply_tsqr)(f, vs)
+        d_direct = qt_apply(direct.f if hasattr(direct, "f") else direct, v)
+
+    np.testing.assert_array_equal(np.asarray(f.perm), np.asarray(direct.perm))
+    np.testing.assert_allclose(np.abs(np.asarray(f.R)),
+                               np.abs(np.asarray(direct.R)), atol=1e-10)
+    np.testing.assert_allclose(np.abs(np.asarray(d[:n])),
+                               np.abs(np.asarray(d_direct[:n])), atol=1e-10)
+    np.testing.assert_allclose(float(jnp.sum(d * d)), float(jnp.dot(v, v)),
+                               rtol=1e-12)
