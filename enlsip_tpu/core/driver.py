@@ -398,6 +398,16 @@ def _init_carry_jit(x0, fns: Functions, dims: Dims, opts: Options,
     return init_carry(fns, x0, dims, opts, jnp.dtype(dtype_name))
 
 
+@partial(jax.jit, static_argnames=("fns", "dims", "opts", "dtype_name"))
+def _solve_full_jit(x0, tols: Tols, fns: Functions, dims: Dims,
+                    opts: Options, dtype_name: str):
+    """Whole default-limit solve as ONE dispatch: init + full while_loop
+    + the final objective, so the host pays a single round trip."""
+    carry = init_carry(fns, x0, dims, opts, jnp.dtype(dtype_name))
+    carry = run_chunk(carry, fns, dims, opts, tols, opts.max_iter + 1)
+    return carry, jnp.dot(carry.rx, carry.rx)
+
+
 class SolveResult(NamedTuple):
     exit_code: int
     x: jax.Array
@@ -420,48 +430,56 @@ def solve(fns: Functions, x0, dims: Dims, opts: Options, tols: Tols,
     measured per-iteration time.  ``chunk`` is traced (every size
     shares one compiled executable), so a limited solve costs ~3
     dispatches total — not one dispatch per iteration.  With the
-    default (1e3 s) limit the whole loop is a single dispatch: on this
-    environment's transport one dispatch costs ~30 ms, and taxing every
-    solve 2 extra round trips to guard a 1000-second default is the
-    wrong trade (the limit is still applied between dispatches, so an
-    over-limit full solve does exit -11).
+    default (1e3 s) limit the whole solve is a single dispatch with a
+    SINGLE host sync (the final bundled transfer): on this
+    environment's transport each host round trip costs ~45 ms —
+    more than the n=1000 device loop itself — so the default path
+    avoids every intermediate sync and fetches all result fields in
+    one ``device_get``.
     """
     dtype = dtype or jnp.asarray(x0).dtype
     start_time = time.time()
-    carry = _init_carry_jit(jnp.asarray(x0, dtype), fns, dims, opts,
-                            jnp.dtype(dtype).name)
-    adaptive = time_limit < 1e3
-    per_iter = None
-    while True:
-        remaining_t = time_limit - (time.time() - start_time)
-        if remaining_t <= 0:
-            carry = carry._replace(exit_code=jnp.int32(-11))
-            exit_code = -11
-            break
-        if not adaptive:
-            chunk = opts.max_iter + 1
-        elif per_iter is None:
-            chunk = 1  # measurement chunk (absorbs any cold compile too)
-        else:
-            chunk = max(1, min(opts.max_iter + 1,
-                               int(0.5 * remaining_t / per_iter)))
-        iter_before = int(carry.nb_iter)
-        t0 = time.time()
-        carry = _run_chunk_jit(carry, tols, jnp.int32(chunk), fns, dims, opts)
-        exit_code = int(carry.exit_code)  # syncs the dispatch
-        dt = time.time() - t0
-        done_iters = max(int(carry.nb_iter) - iter_before, 1)
-        measured = dt / done_iters
-        per_iter = measured if per_iter is None else max(
-            0.5 * per_iter, measured)
-        if exit_code != 0:
-            break
-    # One bundled host transfer for all small result fields.
-    f_dev = jnp.dot(carry.rx, carry.rx)
-    (f, n_iter, n_display, counters) = jax.device_get(
-        (f_dev, carry.nb_iter, carry.n_display, carry.counters))
-    return SolveResult(exit_code=exit_code, x=carry.x, f=float(f),
-                       n_iter=int(n_iter), display=carry.display,
+    if time_limit >= 1e3:
+        # Default-limit fast path: init + the full while_loop + the
+        # objective fused into ONE dispatch (TERCRI returns -2 at
+        # max_iter, so it always terminates); the only host round trip
+        # is the final bundled transfer.
+        carry, f_dev = _solve_full_jit(jnp.asarray(x0, dtype), tols, fns,
+                                       dims, opts, jnp.dtype(dtype).name)
+    else:
+        carry = _init_carry_jit(jnp.asarray(x0, dtype), fns, dims, opts,
+                                jnp.dtype(dtype).name)
+        per_iter = None
+        while True:
+            remaining_t = time_limit - (time.time() - start_time)
+            if remaining_t <= 0:
+                carry = carry._replace(exit_code=jnp.int32(-11))
+                break
+            if per_iter is None:
+                chunk = 1  # measurement chunk (absorbs cold compile too)
+            else:
+                chunk = max(1, min(opts.max_iter + 1,
+                                   int(0.5 * remaining_t / per_iter)))
+            iter_before = int(carry.nb_iter)
+            t0 = time.time()
+            carry = _run_chunk_jit(carry, tols, jnp.int32(chunk), fns, dims,
+                                   opts)
+            exit_code = int(carry.exit_code)  # syncs the dispatch
+            dt = time.time() - t0
+            done_iters = max(int(carry.nb_iter) - iter_before, 1)
+            measured = dt / done_iters
+            per_iter = measured if per_iter is None else max(
+                0.5 * per_iter, measured)
+            if exit_code != 0:
+                break
+        f_dev = jnp.dot(carry.rx, carry.rx)
+    # ONE bundled host transfer for everything (x and display included:
+    # each extra device_get is a full round trip on this transport).
+    (exit_code, x, f, n_iter, n_display, counters, display) = jax.device_get(
+        (carry.exit_code, carry.x, f_dev, carry.nb_iter, carry.n_display,
+         carry.counters, carry.display))
+    return SolveResult(exit_code=int(exit_code), x=x, f=float(f),
+                       n_iter=int(n_iter), display=display,
                        n_display=int(n_display),
                        counters=jax.tree.map(int, counters),
                        solving_time=time.time() - start_time)
