@@ -7,8 +7,8 @@ baseline 2.325 s).  vs_baseline = baseline_seconds / our_seconds
 (speedup, >1 is better).
 
 Secondary metrics ride along as extra JSON fields: batched-HS65
-throughput (solves/s) with % matched optima, and giant-m (500k
-residual rows) GN iteration rate.
+throughput (solves/s) with % matched optima, and giant-m (5M residual
+rows, constraints active at the solution) GN iteration rate.
 
 Note on timing: the remote-TPU transport makes block_until_ready
 unreliable, so every measurement syncs through an explicit host
@@ -112,7 +112,7 @@ def bench_batched_hs65(B=512, dtype=jnp.float32):
 
 # --------------------------- giant-m (module-level for fn identity) ---
 
-_GM_M, _GM_N, _GM_L = 500_000, 100, 50
+_GM_M, _GM_N, _GM_L = 5_000_000, 100, 50
 _GM = {}
 
 
@@ -129,33 +129,31 @@ def _gm_init():
             size=(_GM_M,)).astype(np.float32)
         _GM["W"] = jnp.asarray(W)
         _GM["Y"] = jnp.asarray(Y)
-
-
-def _gm_res(x):
-    z = _GM["W"] @ x
-    return _GM["Y"] - (z + 0.1 * jnp.tanh(z))
-
-
-def _gm_jac(x):
-    z = _GM["W"] @ x
-    return -(1.0 + 0.1 * (1.0 - jnp.tanh(z) ** 2))[:, None] * _GM["W"]
+        # First 5 inequalities x_j >= xtrue_j + 0.2 cut off the
+        # unconstrained optimum, so the solve terminates with t >= 5
+        # ACTIVE constraints (the working-set machinery is exercised at
+        # scale, not just unconstrained GN).  Most are also violated at
+        # x0 = 0 and enter the initial working set.
+        _GM["blo"] = jnp.asarray(xtrue[:5] + 0.2)
 
 
 def _gm_cons(x):
-    return jnp.concatenate([x[: _GM_L - 1] + 5.0,
-                            jnp.array([float(_GM_N) * 4.0 - jnp.dot(x, x)])])
+    return jnp.concatenate([
+        x[:5] - _GM["blo"],
+        x[5: _GM_L - 1] + 5.0,
+        jnp.array([float(_GM_N) * 4.0 - jnp.dot(x, x)])])
 
 
 def bench_giant_m(dtype=jnp.float32, max_iter=8):
-    """GN iterations/s on a 500k-row dense problem (single chip; the
-    row-sharded multi-chip variant runs the same code over a mesh).
+    """GN iterations/s on a 5M-row (BASELINE spec scale) dense problem with active
+    constraints at the solution (single chip; the row-sharded
+    multi-chip variant runs the same code over a mesh — see
+    parallel/rowsharded.py and the TSQR dryrun layout).
 
-    The 200 MB data arrays enter as jit ARGUMENTS (the problem closures
+    The 2 GB data arrays enter as jit ARGUMENTS (the problem closures
     are built over tracers inside the jitted solve) — closing over
     concrete arrays would bake them into the HLO as constants and choke
     compilation."""
-    from functools import partial
-
     from enlsip_tpu.core.driver import Functions, init_carry, run_chunk
     from enlsip_tpu.core.types import Dims, Options
 
@@ -178,18 +176,18 @@ def bench_giant_m(dtype=jnp.float32, max_iter=8):
                         jac_cons=jax.jacfwd(_gm_cons))
         c = init_carry(fns, x0, dims, opts, dtype)
         c = run_chunk(c, fns, dims, opts, tols, opts.max_iter + 1)
-        return c.x, c.nb_iter, c.exit_code
+        return c.x, c.nb_iter, c.exit_code, jnp.sum(c.active_mask)
 
     x0 = jnp.zeros(_GM_N, dtype)
     W, Y = _GM["W"], _GM["Y"]
-    x, n_iter, exit_code = gm_solve(W, Y, x0, tols)     # compile + run
+    x, n_iter, exit_code, t_act = gm_solve(W, Y, x0, tols)  # compile + run
     np.asarray(x)
     t0 = time.perf_counter()
-    x, n_iter, exit_code = gm_solve(W, Y, x0, tols)
+    x, n_iter, exit_code, t_act = gm_solve(W, Y, x0, tols)
     np.asarray(x)
     dt = time.perf_counter() - t0
     n_iter = int(n_iter)
-    return max(n_iter, 1) / dt, n_iter, int(exit_code)
+    return max(n_iter, 1) / dt, n_iter, int(exit_code), int(t_act)
 
 
 def _qr_path():
@@ -206,9 +204,9 @@ def main():
     except Exception as e:  # pragma: no cover - keep the headline alive
         hs_rate, hs_match, hs_strict = None, None, str(e)[:80]
     try:
-        gm_rate, gm_iters, gm_exit = bench_giant_m()
+        gm_rate, gm_iters, gm_exit, gm_t = bench_giant_m()
     except Exception as e:  # pragma: no cover - keep the headline alive
-        gm_rate, gm_iters, gm_exit = None, None, str(e)[:80]
+        gm_rate, gm_iters, gm_exit, gm_t = None, None, str(e)[:80], None
     out = {
         "metric": "chained_rosenbrock_n1000_solve_seconds",
         "value": round(t_cr, 4),
@@ -223,10 +221,11 @@ def main():
         "hs65_batched_match_and_converged_rate": (
             round(hs_strict, 4) if isinstance(hs_strict, float)
             else hs_strict),
-        "giant_m_500k_iters_per_sec": (round(gm_rate, 2)
-                                       if gm_rate else gm_rate),
+        "giant_m_5m_iters_per_sec": (round(gm_rate, 2)
+                                     if gm_rate else gm_rate),
         "giant_m_iters": gm_iters,
         "giant_m_exit": gm_exit,
+        "giant_m_active_t": gm_t,
         "qr_path": _qr_path(),
         "device": str(jax.devices()[0]),
     }
