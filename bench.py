@@ -110,6 +110,90 @@ def bench_batched_hs65(B=512, dtype=jnp.float32):
     return B / dt, float(np.mean(matched)), float(np.mean(ok & matched))
 
 
+# ------------------- ODE-fit batched (module-level for fn identity) ---
+
+def _ode_res(x, y):
+    from enlsip_tpu.problems import ode_fit
+    return ode_fit.residuals_data(x, y)
+
+
+def _ode_jac(x, y):
+    from enlsip_tpu.problems import ode_fit
+    return jax.jacfwd(ode_fit.residuals_data)(x, y)
+
+
+_ODE_CONS = {}
+
+
+def _ode_cons(x, y):
+    return _ODE_CONS["cons"](x)
+
+
+def _ode_jac_cons(x, y):
+    return _ODE_CONS["jac"](x)
+
+
+def bench_ode_fit_batched(B=10_000, dtype=jnp.float32):
+    """10k-instance batched parameter estimation with PER-LANE noisy
+    observations (BASELINE configs[3] single-chip slice; the data= API)."""
+    import enlsip_tpu as et
+    from enlsip_tpu.core.driver import Functions
+    from enlsip_tpu.core.types import Dims, Options
+    from enlsip_tpu.models.model import (build_constraint_functions,
+                                         total_nb_constraints)
+    from enlsip_tpu.parallel import solve_batched
+    from enlsip_tpu.problems import ode_fit
+
+    model = et.CnlsModel(**ode_fit.model_kwargs())
+    if not _ODE_CONS:
+        cons, jac = build_constraint_functions(model)
+        _ODE_CONS["cons"] = cons
+        _ODE_CONS["jac"] = jac
+    fns = Functions(res=_ode_res, jac_res=_ode_jac, cons=_ode_cons,
+                    jac_cons=_ode_jac_cons)
+    dims = Dims(n=model.nb_parameters, m=model.nb_residuals, q=0,
+                l=total_nb_constraints(model))
+    opts = Options(second_derivatives=False)
+    tols = _tols(dtype)
+    starts = ode_fit.perturbed_starts(B)
+    ys = ode_fit.scenario_observations(B).astype(np.float32)
+
+    res = solve_batched(fns, starts, dims, opts, tols, dtype=dtype, data=ys)
+    np.asarray(res.f)  # sync (compile + run)
+    t0 = time.perf_counter()
+    res = solve_batched(fns, starts, dims, opts, tols, dtype=dtype, data=ys)
+    f = np.asarray(res.f)  # sync
+    dt = time.perf_counter() - t0
+    return B / dt, float(np.mean(f < 1e-3))
+
+
+def bench_hetero_suite(per_family=512, dtype=jnp.float32):
+    """Mixed-(n, m, q, l) HS families in ONE fused jitted launch
+    (parallel/hetero.py) — the heterogeneous scenario-batch config."""
+    from enlsip_tpu.core.types import Options
+    from enlsip_tpu.parallel.hetero import solve_suite_fused
+    from enlsip_tpu.parallel.suite import hs_scenario_batch
+
+    names = ["hs14", "hs22", "hs65", "hs42"]
+    fams = hs_scenario_batch(names, per_family=per_family, seed=0)
+    B = sum(f.x0_batch.shape[0] for f in fams.values())
+    opts = Options(max_iter=60, second_derivatives=False)
+
+    out = solve_suite_fused(fams, opts, _tols, dtype=dtype)
+    np.asarray(out[names[0]].f)  # sync (compile + run)
+    t0 = time.perf_counter()
+    out = solve_suite_fused(fams, opts, _tols, dtype=dtype)
+    fvals = {k: np.asarray(v.f) for k, v in out.items()}
+    dt = time.perf_counter() - t0
+    matched = []
+    for name, fam in fams.items():
+        if fam.fstar is not None:
+            matched.append(np.abs(fvals[name] - fam.fstar)
+                           < 1e-3 * max(1.0, abs(fam.fstar)))
+    match_rate = float(np.mean(np.concatenate(matched))) if matched else None
+    return B / dt, match_rate
+
+
 # --------------------------- giant-m (module-level for fn identity) ---
 
 _GM_M, _GM_N, _GM_L = 5_000_000, 100, 50
@@ -207,6 +291,14 @@ def main():
         gm_rate, gm_iters, gm_exit, gm_t = bench_giant_m()
     except Exception as e:  # pragma: no cover - keep the headline alive
         gm_rate, gm_iters, gm_exit, gm_t = None, None, str(e)[:80], None
+    try:
+        ode_rate, ode_opt = bench_ode_fit_batched()
+    except Exception as e:  # pragma: no cover
+        ode_rate, ode_opt = None, str(e)[:80]
+    try:
+        het_rate, het_match = bench_hetero_suite()
+    except Exception as e:  # pragma: no cover
+        het_rate, het_match = None, str(e)[:80]
     out = {
         "metric": "chained_rosenbrock_n1000_solve_seconds",
         "value": round(t_cr, 4),
@@ -226,6 +318,16 @@ def main():
         "giant_m_iters": gm_iters,
         "giant_m_exit": gm_exit,
         "giant_m_active_t": gm_t,
+        "ode_fit_10k_solves_per_sec": (round(ode_rate, 1)
+                                       if ode_rate else ode_rate),
+        "ode_fit_10k_optimum_rate": (round(ode_opt, 4)
+                                     if isinstance(ode_opt, float)
+                                     else ode_opt),
+        "hetero_suite_solves_per_sec": (round(het_rate, 1)
+                                        if het_rate else het_rate),
+        "hetero_suite_match_rate": (round(het_match, 4)
+                                    if isinstance(het_match, float)
+                                    else het_match),
         "qr_path": _qr_path(),
         "device": str(jax.devices()[0]),
     }

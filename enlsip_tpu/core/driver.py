@@ -315,12 +315,15 @@ def _post_direction(carry: Carry, fns: Functions, dims: Dims, opts: Options,
         wsr.act.diag_scale)
 
     # NOTE: the reference copies previous_iter BEFORE refreshing iter.x
-    # (:2860-2862), so TERCRI's prev_iter.x is the CURRENT body's
-    # starting point: x_diff = ||x_old - x_new|| of this step.
+    # (:2860-2862), so the prev_iter.x TERCRI reads in body k is the
+    # PREVIOUS body's starting point: x_diff = ||s_{k-1} - s_{k+1}||
+    # spans TWO steps (verified against the numpy reference oracle,
+    # tests/oracle_enlsip.py).  carry.prev.x holds exactly that point
+    # (and x0 in the first body, matching the :2703 copy).
     exit_code = check_termination(
         ana.p, ana.code, restart_new, wsr.deleted, ana.d, ana.dimJ2,
         wsr.grad_res, wsr.act.cx_act, wsr.act.A_act, wsr.act.valid, t,
-        x_new, x, cx_new, wsr.mask, rx_sum_new, gf_new,
+        x_new, carry.prev.x, cx_new, wsr.mask, rx_sum_new, gf_new,
         carry.nb_iter, opts.max_iter, tols, ana.error_code, sigma_min,
         lam_abs_max, sl.psi_error, nb_newton, sl.w, act_idx,
         carry.time_exceeded, dims, rdims)

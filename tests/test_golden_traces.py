@@ -6,6 +6,10 @@ rankA) sequences and final exit codes for two reference problems are
 pinned to the currently-audited implementation (every routine
 line-checked against the reference, see PARITY.md).  A legitimate
 algorithm change must update these records consciously.
+
+Reference-derived parity (not just drift) is pinned separately by
+``test_reference_oracle.py``, which compares the same trajectories
+against a plain-numpy transliteration of the reference loop.
 """
 
 import jax
