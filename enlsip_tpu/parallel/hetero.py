@@ -131,14 +131,20 @@ def fuse_families(families: dict) -> FusedSuite:
 
 
 def solve_suite_fused(families: dict, opts: Options, tols_fn,
-                      mesh=None, dtype=jnp.float32) -> dict:
+                      mesh=None, dtype=jnp.float32, fused=None) -> dict:
     """Solve a mixed-family scenario batch in ONE fused launch;
     returns {name: BatchResult} (split back per family).
 
     Compare :func:`enlsip_tpu.parallel.suite.solve_suite_batched`, which
     runs one launch per family (no padding, but f families = f
-    sequential dispatches and f compilations)."""
-    fused = fuse_families(families)
+    sequential dispatches and f compilations).
+
+    ``fused``: optional prebuilt :func:`fuse_families` result.  The
+    union closures inside a FusedSuite are the solver's jit cache key
+    (static ``fns``), so repeat solves of the same suite MUST reuse one
+    FusedSuite or every call pays a full recompile."""
+    if fused is None:
+        fused = fuse_families(families)
     tols = tols_fn(dtype)
     if mesh is not None:
         res = solve_batched_sharded(fused.fns, fused.x0, fused.dims, opts,

@@ -33,12 +33,13 @@ def suites():
     fams = hs_scenario_batch(ROBUST + KNIFE_EDGE, per_family=8, seed=1)
     opts = Options()
     buck = solve_suite_batched(fams, opts, _tols, dtype=jnp.float64)
-    fused = solve_suite_fused(fams, opts, _tols, dtype=jnp.float64)
-    return fams, buck, fused
+    fs = fuse_families(fams)
+    fused = solve_suite_fused(fams, opts, _tols, dtype=jnp.float64, fused=fs)
+    return fams, buck, fused, fs
 
 
 def test_fused_dims_and_layout(suites):
-    fams, _, _ = suites
+    fams, _, _, _ = suites
     fused = fuse_families(fams)
     assert fused.dims.n == max(s.dims.n for s in fams.values())
     assert fused.dims.l == max(s.dims.l for s in fams.values())
@@ -57,7 +58,7 @@ def test_fused_matches_bucketed_trajectories(suites):
     # by one iteration when a TERCRI margin sits on a knife edge (the
     # reference's two-step x_diff criterion is one such margin); lanes
     # that take an extra near-converged GN step move <= O(1e-8).
-    fams, buck, fused = suites
+    fams, buck, fused, _ = suites
     for name in fams:
         b, f = buck[name], fused[name]
         np.testing.assert_allclose(np.asarray(f.x), np.asarray(b.x),
@@ -69,7 +70,7 @@ def test_fused_matches_bucketed_trajectories(suites):
 
 
 def test_fused_matches_bucketed_statuses_robust(suites):
-    fams, buck, fused = suites
+    fams, buck, fused, _ = suites
     for name in ROBUST:
         assert np.array_equal(np.asarray(fused[name].exit_code),
                               np.asarray(buck[name].exit_code)), name
@@ -79,7 +80,7 @@ def test_fused_knife_edge_converges(suites):
     # hs42 lanes flip individual termination-code bits under padded-buffer
     # rounding; all lanes still land on the bucketed solution (asserted
     # above) and every exit is a terminal code, never a hang/error code.
-    _, buck, fused = suites
+    _, buck, fused, _ = suites
     for name in KNIFE_EDGE:
         codes = np.asarray(fused[name].exit_code)
         assert np.all((codes > 0) | (codes == -10)), codes
@@ -101,12 +102,12 @@ def test_fused_single_family_is_bitwise(suites):
 
 
 def test_fused_sharded_matches_unsharded(suites):
-    fams, _, fused = suites
+    fams, _, fused, fs = suites
     from enlsip_tpu.parallel.sharding import batch_mesh
     if len(jax.devices()) < 2:
         pytest.skip("needs a multi-device mesh")
     res = solve_suite_fused(fams, Options(), _tols, mesh=batch_mesh(),
-                            dtype=jnp.float64)
+                            dtype=jnp.float64, fused=fs)
     for name in fams:
         np.testing.assert_allclose(np.asarray(res[name].x),
                                    np.asarray(fused[name].x),

@@ -57,5 +57,9 @@ def test_chained_rosenbrock_time_limit():
 def test_chained_wood_newton_path():
     model = et.CnlsModel(**chained_wood(20))
     et.solve(model, rel_tol=1e-5, x_tol=1e-3, c_tol=1e-6)
-    assert et.status(model) in et.dict_status_codes.values()
-    assert np.isfinite(et.sum_sq_residuals(model))
+    # Pinned to the numpy reference oracle (tests/oracle_enlsip.py) run
+    # with the same tolerance mapping: exit 10300 after 20 iterations,
+    # f = 474.2585640745832.
+    assert et.status(model) == "found_first_order_stationary_point"
+    np.testing.assert_allclose(et.sum_sq_residuals(model), 474.25856407,
+                               rtol=1e-6)
