@@ -176,7 +176,13 @@ def bench_hetero_suite(per_family=512, dtype=jnp.float32):
 
     from enlsip_tpu.parallel.hetero import fuse_families
 
-    names = ["hs14", "hs22", "hs65", "hs42"]
+    # Five families with genuinely distinct (n, m, q, l): n 2-5, m 2-4,
+    # q 0-3, l 1-13.  All converge under GN-only from perturbed starts
+    # (hs42 is excluded here: a third of its perturbed lanes correctly
+    # request a Newton step, which this GN-only throughput config
+    # reports as exit -4 — that semantics is covered by
+    # tests/test_hetero.py's KNIFE_EDGE set, not benchmarked).
+    names = ["hs14", "hs65", "hs26", "hs53", "hs79"]
     fams = hs_scenario_batch(names, per_family=per_family, seed=0)
     B = sum(f.x0_batch.shape[0] for f in fams.values())
     opts = Options(max_iter=60, second_derivatives=False)

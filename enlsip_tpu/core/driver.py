@@ -37,6 +37,7 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
+from ..ops.select_update import set1, set_row
 from .direction import search_direction_analysis
 from .linesearch import compute_steplength
 from .subproblem import (ActiveConstraint, FactorA, FactorL11, GNResult,
@@ -179,7 +180,7 @@ def _ws_round2(r1: WSRound1, mask, A, cx, rx, J, gf, dims: Dims,
     suggested constraint and re-run the full factorization chain."""
     s2c = jnp.maximum(r1.s2, 0)
     gidx = r1.view.active_list[s2c]
-    mask2 = mask.at[gidx].set(False)
+    mask2 = set1(mask, gidx, False)
     view2, t2, act2, F_A2, F_L11_2, gn2 = _factor_and_gn(
         mask2, A, cx, rx, J, gf, dims, scaling, eps_rank, rdims, tsqr_axis)
     # Compact lam2: new slot j maps to old slot j (+1 past s2).
@@ -335,7 +336,7 @@ def _post_direction(carry: Carry, fns: Functions, dims: Dims, opts: Options,
                      sl.alpha, jnp.where(sl.updated_progress, sl.progress,
                                          carry.prev.progress)])
     display = jnp.where(record,
-                        carry.display.at[carry.nb_iter].set(row),
+                        set_row(carry.display, carry.nb_iter, row),
                         carry.display)
     n_display = carry.n_display + jnp.where(record, 1, 0)
 

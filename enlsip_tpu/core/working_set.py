@@ -18,6 +18,7 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
+from ..ops.select_update import set1
 from .types import Dims, rdims_or, working_view
 
 
@@ -138,8 +139,8 @@ def evaluate_violated_constraints(cx: jax.Array, mask: jax.Array,
         can_swap = jnp.any(act_ineq) & (worst_val > ck)
         do_plain = want & ~at_cap
         do_swap = want & at_cap & can_swap
-        m = jnp.where(do_swap, m.at[worst_idx].set(False), m)
-        m = jnp.where(do_plain | do_swap, m.at[k].set(True), m)
+        m = jnp.where(do_swap, set1(m, worst_idx, False), m)
+        m = jnp.where(do_plain | do_swap, set1(m, k, True), m)
         added = added | do_plain | do_swap
         return m, added
 

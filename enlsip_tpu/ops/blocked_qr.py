@@ -32,6 +32,8 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
+from .select_update import set1, set_col
+
 # WY panel width for T/apply blocking (static).
 NB = 128
 
@@ -67,7 +69,7 @@ def _householder_col(col: jax.Array, k: jax.Array):
     safe = jnp.abs(denom) > 0
     denom = jnp.where(safe, denom, 1.0)
     v = jnp.where(idx > k, tail / denom, 0.0)
-    v = v.at[k].set(jnp.where(safe, 1.0, 0.0))
+    v = set1(v, k, jnp.where(safe, 1.0, 0.0))
     tau = jnp.where(safe & (beta != 0), (beta - alpha) /
                     jnp.where(beta != 0, beta, 1.0), 0.0)
     return v, tau, jnp.where(safe, beta, alpha)
@@ -142,17 +144,17 @@ def cpqr_blocked(M: jax.Array, nb: int = NB,
         nrm2 = jnp.where(cidx >= k, nrm2, -1.0)
         piv = jnp.argmax(nrm2).astype(jnp.int32)
         bk, bp = B[:, k], jnp.take(B, piv, axis=1)
-        B = B.at[:, k].set(bp)
-        B = B.at[:, piv].set(jnp.where(piv == k, bp, bk))
+        B = set_col(B, k, bp)
+        B = set_col(B, piv, jnp.where(piv == k, bp, bk))
         pk, pp = perm[k], jnp.take(perm, piv)
-        perm = perm.at[k].set(pp)
-        perm = perm.at[piv].set(jnp.where(piv == k, pp, pk))
+        perm = set1(perm, k, pp)
+        perm = set1(perm, piv, jnp.where(piv == k, pp, pk))
         v, tau, _ = _householder_col(B[:, k], k)
         vtB = v @ B
         B = B - tau * jnp.outer(v, vtB)
-        B = B.at[:, k].set(jnp.where(ridx > k, 0.0, B[:, k]))
-        V = V.at[:, k].set(v)
-        taus = taus.at[k].set(tau)
+        B = set_col(B, k, jnp.where(ridx > k, 0.0, B[:, k]))
+        V = set_col(V, k, v)
+        taus = set1(taus, k, tau)
         return B, V, taus, perm
 
     ub = kmax if nsteps is None else jnp.clip(nsteps, 0, kmax)

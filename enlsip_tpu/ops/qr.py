@@ -39,6 +39,8 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
+from .select_update import set1, set_col
+
 
 class CPQR(NamedTuple):
     """Column-pivoted QR of a masked buffer ``M`` (rows x cols).
@@ -78,7 +80,7 @@ def _householder(col: jax.Array, k: int | jax.Array) -> tuple[jax.Array, jax.Arr
     safe = jnp.abs(denom) > 0
     denom = jnp.where(safe, denom, 1.0)
     v = jnp.where(idx > k, tail / denom, 0.0)
-    v = v.at[k].set(jnp.where(safe, 1.0, 0.0))
+    v = set1(v, k, jnp.where(safe, 1.0, 0.0))
     # tau = (beta - alpha)/beta for the normalized (v_k = 1) convention.
     tau = jnp.where(safe & (beta != 0), (beta - alpha) / jnp.where(beta != 0, beta, 1.0), 0.0)
     return v, tau, jnp.where(safe, beta, alpha)
@@ -116,12 +118,12 @@ def cpqr(M: jax.Array, aug: jax.Array | None = None, *, nsteps: int | None = Non
         # Swap columns k <-> piv (and perm entries).
         colk = A[:, k]
         colp = jnp.take(A, piv, axis=1)
-        A = A.at[:, k].set(colp)
-        A = A.at[:, piv].set(jnp.where(piv == k, colp, colk))
+        A = set_col(A, k, colp)
+        A = set_col(A, piv, jnp.where(piv == k, colp, colk))
         pk = perm[k]
         pp = jnp.take(perm, piv)
-        perm = perm.at[k].set(pp)
-        perm = perm.at[piv].set(jnp.where(piv == k, pp, pk))
+        perm = set1(perm, k, pp)
+        perm = set1(perm, piv, jnp.where(piv == k, pp, pk))
         # Householder on column k.
         v, tau, _ = _householder(A[:, k], k)
         # Apply H = I - tau v v^T to A[:, k:] and to G.
@@ -130,7 +132,7 @@ def cpqr(M: jax.Array, aug: jax.Array | None = None, *, nsteps: int | None = Non
         vtG = v @ G
         G = G - tau * jnp.outer(v, vtG)
         # Clean exact zeros below the diagonal in column k.
-        A = A.at[:, k].set(jnp.where(ridx > k, 0.0, A[:, k]))
+        A = set_col(A, k, jnp.where(ridx > k, 0.0, A[:, k]))
         return A, G, perm
 
     A, G, perm = lax.fori_loop(0, kmax, body, (M, augbuf, perm0))
