@@ -301,7 +301,8 @@ def _post_direction(carry: Carry, fns: Functions, dims: Dims, opts: Options,
         ana.dimA, wsr.gn.rankJ2, ana.code, wsr.index_del, carry.prev,
         carry.K, wsr.mask, dims, opts.weight_code, counters,
         opts.linesearch_max_refine, opts.gac_max_halvings,
-        opts.eucmod_max_passes, opts.scaling)
+        opts.eucmod_max_passes, opts.scaling,
+        alive=carry.exit_code == 0)
     counters = sl.counters
 
     # --- step + new point --------------------------------------------

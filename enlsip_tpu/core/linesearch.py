@@ -111,13 +111,16 @@ def _poly_eval(c, x):
     return acc
 
 
-def _newton_raphson(x_min, Dm, dsc, ddsc):
-    """Safeguarded NR on s'(a) = 0 (:1791-1811), <= 50 iters."""
+def _newton_raphson(x_min, Dm, dsc, ddsc, need):
+    """Safeguarded NR on s'(a) = 0 (:1791-1811), <= 50 iters.
+
+    ``need`` gates the loop for lanes whose result is discarded (see
+    min_norm_w's note on vmapped while-loop trip counts)."""
     eps = jnp.finfo(x_min.dtype).eps
 
     def cond(st):
         a, err, it, done = st
-        return ((err > 1e-4) | (it < 3)) & (it < 50) & (~done)
+        return ((err > 1e-4) | (it < 3)) & (it < 50) & (~done) & need
 
     def body(st):
         a, err, it, done = st
@@ -157,11 +160,12 @@ def _two_roots(b, c, d, a, x_min):
     return alpha, beta
 
 
-def minrm(v0, v1, v2, x_min, alpha_min, alpha_max):
+def minrm(v0, v1, v2, x_min, alpha_min, alpha_max, need=None):
     """MINRM (:1841-1862): minimize the quartic
     s(a) = 1/2 ||v0 + v1 a + v2 a^2||^2 analytically; returns the best
     two local minimizers clamped to [alpha_min, alpha_max] with values.
     """
+    need = jnp.asarray(True) if need is None else need
     dtype = v0.dtype
     c0 = 0.5 * jnp.dot(v0, v0)
     c1 = jnp.dot(v0, v1)
@@ -191,7 +195,7 @@ def minrm(v0, v1, v2, x_min, alpha_min, alpha_max):
     ar_two, br_two = _two_roots(b, c, d, a1, x_min)
     ar_one = _one_root(c, d, a1)
     a_analytic = jnp.where(d < 0, ar_two, ar_one)
-    a_nr = _newton_raphson(x_min, Dm, dsc, ddsc)
+    a_nr = _newton_raphson(x_min, Dm, dsc, ddsc, need & ~analytic)
     alpha_hat = jnp.where(analytic, a_analytic, a_nr)
     d_eff = jnp.where(analytic, d, 1.0)  # NR branch leaves d = 1.0 (:1748)
     beta_hat = jnp.where(d_eff < 0, jnp.where(analytic, br_two, alpha_hat),
@@ -218,8 +222,9 @@ def check_reduction(psi_alpha, psi_k, approx_k, eta, diff_psi):
 
 def goldstein_armijo_step(psi0, dpsi0, alpha_min, tau, p_max, x, alpha0, p,
                           w, mask, res_fn, cons_fn, counters: Counters,
-                          max_halvings: int):
+                          max_halvings: int, need=None):
     """GAC (:1893-1923): halve until psi(u) <= psi0 + tau u dpsi0."""
+    need = jnp.asarray(True) if need is None else need
     sqr_eps = jnp.sqrt(jnp.finfo(x.dtype).eps)
     u0 = _acc(alpha0)
     exit0 = (p_max * u0 < sqr_eps) | (u0 <= alpha_min)
@@ -227,7 +232,8 @@ def goldstein_armijo_step(psi0, dpsi0, alpha_min, tau, p_max, x, alpha0, p,
 
     def cond(st):
         u, psiu, ext, cnt, it = st
-        return (~ext) & (psiu > psi0 + tau * u * dpsi0) & (it < max_halvings)
+        return ((~ext) & (psiu > psi0 + tau * u * dpsi0)
+                & (it < max_halvings) & need)
 
     def body(st):
         u, psiu, ext, cnt, it = st
@@ -252,8 +258,16 @@ class LinesearchResult(NamedTuple):
 def linesearch_constrained(x, alpha0, p, rx, cx, JpAp, w, mask, psi0, dpsi0,
                            alpha_low, alpha_upp, res_fn, cons_fn,
                            counters: Counters, dims: Dims,
-                           max_refine: int, gac_max: int) -> LinesearchResult:
-    """LINEC (:1940-2143)."""
+                           max_refine: int, gac_max: int,
+                           need=None) -> LinesearchResult:
+    """LINEC (:1940-2143).
+
+    ``need``: whether this lane consumes the result; False only gates
+    inner-loop trip counts (values for need=True lanes are unchanged —
+    under vmap a while-loop runs the max trips over ALL lanes, so
+    frozen/branch-untaken lanes otherwise force everyone through the
+    worst case)."""
+    need = jnp.asarray(True) if need is None else need
     eta, tau, gamma = 0.3, 0.25, 0.4
     psi0, dpsi0 = _acc(psi0), _acc(dpsi0)
     alpha_min, alpha_max = _acc(alpha_low), _acc(alpha_upp)
@@ -274,7 +288,8 @@ def linesearch_constrained(x, alpha0, p, rx, cx, JpAp, w, mask, psi0, dpsi0,
     v2 = ((vb - v0) / alpha_k - v1) / alpha_k
 
     x_min = jnp.where(diff_psi0 >= 0, alpha_k, jnp.zeros_like(alpha_k))
-    a_kp1, pk, bta, pbta = minrm(v0, v1, v2, x_min, alpha_min, alpha_max)
+    a_kp1, pk, bta, pbta = minrm(v0, v1, v2, x_min, alpha_min, alpha_max,
+                                 need)
     better_beta = (a_kp1 != bta) & (pbta < pk) & (bta <= alpha_k)
     a_kp1 = jnp.where(better_beta, bta, a_kp1)
     pk = jnp.where(better_beta, pbta, pk)
@@ -285,14 +300,15 @@ def linesearch_constrained(x, alpha0, p, rx, cx, JpAp, w, mask, psi0, dpsi0,
     alpha_k = a_kp1
     psi_k, counters = psi(x, alpha_k, p, w, mask, res_fn, cons_fn, counters)
 
-    def refine_loop(carry, fixed_diff):
+    def refine_loop(carry, fixed_diff, branch_need):
         """The reduction-likely 3-point refinement loop (:2048-2064 and
         :2113-2129).  When ``fixed_diff`` is True the loop keeps the
         stale diff_psi (the reference's second branch never updates it).
+        ``branch_need``: lane actually executes this branch (trip gate).
         """
         def cond(st):
             (ak2, pk2, ak1, pk1, ak, pkk, approx, dpsi, cnt, it, likely) = st
-            return likely & (it < max_refine)
+            return likely & (it < max_refine) & branch_need
 
         def body(st):
             (ak2, pk2, ak1, pk1, ak, pkk, approx, dpsi, cnt, it, _) = st
@@ -315,7 +331,7 @@ def linesearch_constrained(x, alpha0, p, rx, cx, JpAp, w, mask, psi0, dpsi0,
         st = (alpha_km2, psi_km2, alpha_km1, psi_km1, alpha_k, psi_k,
               pk, diff_psi, counters, jnp.int32(0), likely0)
         (ak2, pk2, ak1, pk1, ak, pkk, approx, dpsi, cnt, _, _) = \
-            refine_loop(st, fixed_diff=False)
+            refine_loop(st, fixed_diff=False, branch_need=need & term_a0)
         best = (pk1 - approx >= eta * dpsi) & (pkk < pk1)
         a_out = jnp.where(best, ak, ak1)
         return a_out, jnp.asarray(False), cnt
@@ -324,6 +340,7 @@ def linesearch_constrained(x, alpha0, p, rx, cx, JpAp, w, mask, psi0, dpsi0,
     def branch2(counters):
         diff_psi = psi0 - psi_k
         term_a1 = (-diff_psi <= tau * dpsi0 * alpha_k) | (psi_k < gamma * psi0)
+        sat_need = need & ~term_a0 & term_a1
 
         def sat(counters):
             # alpha0 not useful: redo the quartic model at alpha_k
@@ -336,7 +353,8 @@ def linesearch_constrained(x, alpha0, p, rx, cx, JpAp, w, mask, psi0, dpsi0,
                 vbk = concat_v(rxn, cxn, w, mask, dims)
                 v2k = ((vbk - v0) / alpha_k - v1) / alpha_k
                 a_n, pk_n, b_n, pb_n = minrm(v0, v1, v2k, alpha_k,
-                                             alpha_min, alpha_max)
+                                             alpha_min, alpha_max,
+                                             sat_need & (psi0 <= psi_km1))
                 swap = (a_n != b_n) & (pb_n < pk_n) & (b_n <= alpha_k)
                 a_n = jnp.where(swap, b_n, a_n)
                 pk_n = jnp.where(swap, pb_n, pk_n)
@@ -359,7 +377,7 @@ def linesearch_constrained(x, alpha0, p, rx, cx, JpAp, w, mask, psi0, dpsi0,
             st = (ak2, pk2, ak1, pk1, ak, pkk, pkb, diff_psi, cnt,
                   jnp.int32(0), likely0)
             (ak2, pk2, ak1, pk1, ak, pkk, approx, dpsi, cnt, _, _) = \
-                refine_loop(st, fixed_diff=True)
+                refine_loop(st, fixed_diff=True, branch_need=sat_need)
             best = (pk1 - approx >= eta * dpsi) & (pkk < pk1)
             a_out = jnp.where(best, ak, ak1)
             return a_out, jnp.asarray(False), cnt
@@ -367,7 +385,8 @@ def linesearch_constrained(x, alpha0, p, rx, cx, JpAp, w, mask, psi0, dpsi0,
         def gac(counters):
             u, err, cnt = goldstein_armijo_step(
                 psi0, dpsi0, alpha_min, tau, p_max, x, alpha_k, p, w, mask,
-                res_fn, cons_fn, counters, gac_max)
+                res_fn, cons_fn, counters, gac_max,
+                need & ~term_a0 & ~term_a1)
             return u, err, cnt
 
         return lax.cond(term_a1, sat, gac, counters)
@@ -438,10 +457,16 @@ def compute_steplength(res_fn, cons_fn, x, rx, J, cx, A,
                        act, view, t, p, dimA, rankJ2, code, index_del,
                        prev: PrevIter, K, mask, dims: Dims, weight_code: int,
                        counters: Counters, max_refine: int, gac_max: int,
-                       eucmod_max: int, scaling: bool) -> SteplengthResult:
-    """STPLNG (:2197-2293)."""
+                       eucmod_max: int, scaling: bool,
+                       alive=None) -> SteplengthResult:
+    """STPLNG (:2197-2293).
+
+    ``alive``: this lane is still iterating (exit_code == 0).  Only
+    gates inner-loop trip counts under vmap; single-lane semantics and
+    alive-lane values are unchanged."""
     from .weights import penalty_weight_update
 
+    alive = jnp.asarray(True) if alive is None else alive
     dtype = x.dtype
     tmax = dims.tmax
     w_old = prev.w
@@ -456,7 +481,7 @@ def compute_steplength(res_fn, cons_fn, x, rx, J, cx, A,
     # ---- penalty weights + dpsi0 (code != 2 path) ---------------------
     w, dpsi0, K_new = penalty_weight_update(
         w_old, Jp, active_Ap, K, rx, cx, active_global, act.valid, t, dimA,
-        weight_code, dims, eucmod_max)
+        weight_code, dims, eucmod_max, need=alive & (code != 2))
 
     wa = _acc(w[active_global])
     cxa = _acc(cx[active_global])
@@ -471,7 +496,8 @@ def compute_steplength(res_fn, cons_fn, x, rx, J, cx, A,
         alpha0 = jnp.minimum(jnp.minimum(1.0, magfy * prev.alpha), alpha_upp)
         res = linesearch_constrained(
             x, alpha0, p, rx, cx, JpAp, w, mask, psi0, dpsi0, alpha_low,
-            alpha_upp, res_fn, cons_fn, cnt, dims, max_refine, gac_max)
+            alpha_upp, res_fn, cons_fn, cnt, dims, max_refine, gac_max,
+            need=alive & (code != 2) & (dpsi0 < 0))
         alpha, cnt = res.alpha, res.counters
 
         def deriv_check(cnt):

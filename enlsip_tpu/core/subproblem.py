@@ -280,11 +280,19 @@ def gn_search_direction(J: jax.Array, rx: jax.Array, act: ActiveConstraint,
     JQ1 = right_q_apply(F_A.f, J)
     cols = jnp.arange(n)
     J2buf = jnp.where(cols[None, :] >= rankA, JQ1, 0.0)
+    rows = J2buf.shape[0]
     # Only n - rankA columns are live; skip the no-op steps.
     if tsqr_axis is not None:
         from ..ops.tsqr import tsqr_cpqr
         F_J2 = FactorJ2(f=tsqr_cpqr(J2buf, nsteps=n - rankA,
                                     axis=tsqr_axis))
+    elif rows >= 32 * n and rows >= 4096:
+        # Tall-skinny (giant-m single chip): one blocked thin QR +
+        # pivoted QR of its (n, n) R beats the n-step pivot loop
+        # streaming the full (m, n) buffer each step (column norms and
+        # hence pivoting/rank decisions are identical).
+        from ..ops.tsqr import tsqr_cpqr
+        F_J2 = FactorJ2(f=tsqr_cpqr(J2buf, nsteps=n - rankA, axis=None))
     else:
         F_J2 = FactorJ2(f=cpqr_blocked(J2buf, nsteps=n - rankA))
     # Semantic diag length (pseudo_rank's sqrt(len) tolerance factor

@@ -32,7 +32,7 @@ def assort(K: jax.Array, w: jax.Array, active_global: jax.Array,
 
 def min_norm_w(ctrl: int, w_old_global: jax.Array, y_slots: jax.Array,
                tau: jax.Array, pos: jax.Array, active_global: jax.Array,
-               max_passes: int) -> jax.Array:
+               max_passes: int, need=None) -> jax.Array:
     """EUCMOD (:1374-1423): min ||w|| s.t. w >= w_old and <y, w> {=,>=} tau.
 
     Operates on slot-aligned buffers: ``y_slots`` (tmax,), ``pos`` the
@@ -44,6 +44,12 @@ def min_norm_w(ctrl: int, w_old_global: jax.Array, y_slots: jax.Array,
     no candidate is removed (each pass removes >= 1 else terminates, so
     ``max_passes`` = tmax + 1 is exact; smaller values only early-stop
     degenerate cases).
+
+    ``need`` (bool, default True): whether this lane's result is
+    actually consumed.  Values are unchanged for need=True; need=False
+    only short-circuits the iteration loop — under vmap the while-loop
+    trip count is the max over lanes, so without this gate one frozen
+    or branch-untaken lane forces every lane through max_passes trips.
     """
     dtype = w_old_global.dtype
     eps = jnp.finfo(dtype).eps
@@ -70,9 +76,11 @@ def min_norm_w(ctrl: int, w_old_global: jax.Array, y_slots: jax.Array,
         stop = (n_after <= 0) | (ctrl == 2) | (n_after == n_before)
         return w_slots, ok, tau_new, s_new, y_sum_new, stop, it + 1
 
+    needed = jnp.asarray(True) if need is None else need
+
     def cond(carry):
         *_, stop, it = carry
-        return (~stop) & (it < max_passes)
+        return (~stop) & (it < max_passes) & needed
 
     init = (w_old_slots, pos, tau, jnp.asarray(0.0, dtype), y_sum0,
             nb_pos <= 0, jnp.int32(0))
@@ -90,7 +98,7 @@ def euclidean_norm_weight_update(vA: jax.Array, cx: jax.Array,
                                  active_global: jax.Array, valid: jax.Array,
                                  t: jax.Array, mu: jax.Array, dimA: jax.Array,
                                  previous_w: jax.Array, K: jax.Array,
-                                 dims: Dims, max_passes: int
+                                 dims: Dims, max_passes: int, need=None
                                  ) -> tuple[jax.Array, jax.Array]:
     """EUCNRM (:1429-1497).  vA = active_Ap (slot buffer), cx = full
     constraint values.  Returns (w, K_updated)."""
@@ -98,6 +106,9 @@ def euclidean_norm_weight_update(vA: jax.Array, cx: jax.Array,
     w_old = K[3]  # 4th-largest history, per constraint
     cx_act = cx[active_global]
     ztw = jnp.sum(jnp.where(valid, z * w_old[active_global], 0.0))
+    ge = ztw >= mu
+    lt_t = dimA < t
+    needed = jnp.asarray(True) if need is None else need
 
     # Branch 1: ztw >= mu, dimA < t
     y1 = jnp.where(valid, vA * (vA + cx_act), 0.0)
@@ -111,11 +122,10 @@ def euclidean_norm_weight_update(vA: jax.Array, cx: jax.Array,
     tau2 = mu - jnp.sum(jnp.where(valid & ~pos2, e2 * w_old[active_global], 0.0))
     w_b2 = min_norm_w(2, w_old, e2, tau2, pos2, active_global, max_passes)
 
-    # Branch 3: ztw < mu, dimA == t (ctrl = 1, y = z, all active slots)
-    w_b3 = min_norm_w(1, w_old, z, mu, valid, active_global, max_passes)
-
-    ge = ztw >= mu
-    lt_t = dimA < t
+    # Branch 3: ztw < mu, dimA == t (ctrl = 1, y = z, all active slots).
+    # The only looping EUCMOD call — gated to lanes actually taking it.
+    w_b3 = min_norm_w(1, w_old, z, mu, valid, active_global, max_passes,
+                      need=needed & ~ge & ~lt_t)
     w = jnp.where(ge & lt_t, w_b1,
                   jnp.where(~ge & lt_t, w_b2,
                             jnp.where(~ge & ~lt_t, w_b3, previous_w)))
@@ -151,7 +161,8 @@ def penalty_weight_update(w_old: jax.Array, Jp: jax.Array,
                           active_Ap: jax.Array, K: jax.Array, rx: jax.Array,
                           cx: jax.Array, active_global: jax.Array,
                           valid: jax.Array, t: jax.Array, dimA: jax.Array,
-                          norm_code: int, dims: Dims, max_passes: int
+                          norm_code: int, dims: Dims, max_passes: int,
+                          need=None
                           ) -> tuple[jax.Array, jax.Array, jax.Array]:
     """WEIGHT (:1545-1629).  Returns (w, dpsi0, K_updated).
 
@@ -193,7 +204,7 @@ def penalty_weight_update(w_old: jax.Array, Jp: jax.Array,
     elif norm_code == 2:
         w, K_new = euclidean_norm_weight_update(
             active_Ap, cx * fcx, active_global, valid, t, rmy, dimA, w_old,
-            K, dims, max_passes)
+            K, dims, max_passes, need)
     else:  # pragma: no cover - reference supports only 0 and 2
         raise ValueError(f"unsupported weight_code {norm_code}")
 

@@ -45,11 +45,16 @@ class TSQRF:
 
     qloc: (m, n) row-sharded block-diagonal thin local Q factors;
     f2: replicated CPQR of the stacked local Rs ((D*n, n) buffer);
-    axis: mesh axis name the rows are sharded over (static aux data).
+    axis: mesh axis name the rows are sharded over (static aux data);
+    ``axis=None`` is the SINGLE-CHIP tall-skinny variant (D = 1): one
+    unpivoted thin QR of the whole matrix + pivoted QR of its (n, n)
+    R — one blocked MXU pass over the tall data instead of the
+    sequential per-column pivot loop (the auto-dispatch for
+    m >> n in core/subproblem.gn_search_direction).
     Exposes R/perm/diag with the shapes the direct CPQRF would have for
     m >= n, so FactorJ2's properties are oblivious."""
 
-    def __init__(self, qloc, f2: CPQRF, axis: str):
+    def __init__(self, qloc, f2: CPQRF, axis: str | None):
         self.qloc = qloc
         self.f2 = f2
         self.axis = axis
@@ -83,11 +88,19 @@ def _axis_size(axis: str) -> int:
     return mesh.shape[axis]
 
 
-def tsqr_cpqr(M: jax.Array, nsteps, axis: str) -> TSQRF:
+def tsqr_cpqr(M: jax.Array, nsteps, axis: str | None) -> TSQRF:
     """Column-pivoted QR of the row-sharded ``M`` ((m, n), m % D == 0,
     m/D >= n) via local thin QRs + replicated pivoted QR of the stacked
-    R factors.  ``nsteps`` bounds stage 2's pivot steps (live columns)."""
+    R factors.  ``nsteps`` bounds stage 2's pivot steps (live columns).
+
+    ``axis=None``: single-chip tall-skinny path — one thin
+    ``jnp.linalg.qr`` of the whole matrix, then CPQR of its (n, n) R.
+    Column norms (hence pivoting and rank decisions) are preserved
+    exactly as in the sharded case."""
     m, n = M.shape
+    if axis is None:
+        q, r = jnp.linalg.qr(M, mode="reduced")
+        return TSQRF(qloc=q, f2=cpqr_blocked(r, nsteps=nsteps), axis=None)
     D = _axis_size(axis)
     assert m % D == 0 and m // D >= n, (m, n, D)
     P = jax.sharding.PartitionSpec
@@ -114,13 +127,16 @@ def qt_apply_tsqr(f: TSQRF, v: jax.Array) -> jax.Array:
     the complement — no consumer reads them individually.)"""
     m, n = f.qloc.shape
     dn = f.f2.V.shape[0]
-    P = jax.sharding.PartitionSpec
+    if f.axis is None:
+        w = f.qloc.T @ v                               # (n,)
+    else:
+        P = jax.sharding.PartitionSpec
 
-    def local_qt(qd, vd):
-        return qd.T @ vd  # (n,) per shard
+        def local_qt(qd, vd):
+            return qd.T @ vd  # (n,) per shard
 
-    w = jax.shard_map(local_qt, in_specs=(P(f.axis, None), P(f.axis)),
-                      out_specs=P(f.axis))(f.qloc, v)  # (D*n,) stacked
+        w = jax.shard_map(local_qt, in_specs=(P(f.axis, None), P(f.axis)),
+                          out_specs=P(f.axis))(f.qloc, v)  # (D*n,) stacked
     u = qt_apply(f.f2, w)                              # (D*n,) replicated
     v2 = jnp.sum(v * v)
     rest2 = jnp.maximum(v2 - jnp.sum(w * w), 0.0)
