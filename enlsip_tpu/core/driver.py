@@ -403,14 +403,50 @@ def _init_carry_jit(x0, fns: Functions, dims: Dims, opts: Options,
     return init_carry(fns, x0, dims, opts, jnp.dtype(dtype_name))
 
 
+def _pack_result(carry: Carry, f_dev) -> jax.Array:
+    """Flatten every field ``solve`` reports into ONE dtype array.
+
+    On this environment's transport each fetched leaf costs a full host
+    round trip (measured 2.5-27 ms EACH depending on tunnel load), so
+    the result crosses the wire as a single buffer:
+    [exit_code, f, nb_iter, n_display, 4 counters, x (n), display].
+    The integer fields are small (|exit_code| <= 12340, counters bound
+    by max_iter * linesearch trials) and exact in f32."""
+    cnt = carry.counters
+    head = jnp.stack([
+        carry.exit_code.astype(f_dev.dtype), f_dev,
+        carry.nb_iter.astype(f_dev.dtype),
+        carry.n_display.astype(f_dev.dtype),
+        cnt.nb_res.astype(f_dev.dtype), cnt.nb_jacres.astype(f_dev.dtype),
+        cnt.nb_cons.astype(f_dev.dtype), cnt.nb_jaccons.astype(f_dev.dtype)])
+    return jnp.concatenate([head, carry.x, carry.display.ravel()])
+
+
+def _unpack_result(flat, n: int, start_time: float) -> "SolveResult":
+    head, x, disp = flat[:8], flat[8:8 + n], flat[8 + n:]
+    exit_code, f, n_iter, n_display = (int(head[0]), float(head[1]),
+                                       int(head[2]), int(head[3]))
+    counters = Counters(nb_res=int(head[4]), nb_jacres=int(head[5]),
+                        nb_cons=int(head[6]), nb_jaccons=int(head[7]))
+    return SolveResult(exit_code=exit_code, x=x, f=f, n_iter=n_iter,
+                       display=disp.reshape(-1, 5), n_display=n_display,
+                       counters=counters,
+                       solving_time=time.time() - start_time)
+
+
 @partial(jax.jit, static_argnames=("fns", "dims", "opts", "dtype_name"))
 def _solve_full_jit(x0, tols: Tols, fns: Functions, dims: Dims,
                     opts: Options, dtype_name: str):
     """Whole default-limit solve as ONE dispatch: init + full while_loop
-    + the final objective, so the host pays a single round trip."""
+    + the packed result, so the host pays a single round trip."""
     carry = init_carry(fns, x0, dims, opts, jnp.dtype(dtype_name))
     carry = run_chunk(carry, fns, dims, opts, tols, opts.max_iter + 1)
-    return carry, jnp.dot(carry.rx, carry.rx)
+    return _pack_result(carry, jnp.dot(carry.rx, carry.rx))
+
+
+@jax.jit
+def _pack_result_jit(carry: Carry):
+    return _pack_result(carry, jnp.dot(carry.rx, carry.rx))
 
 
 class SolveResult(NamedTuple):
@@ -446,11 +482,12 @@ def solve(fns: Functions, x0, dims: Dims, opts: Options, tols: Tols,
     start_time = time.time()
     if time_limit >= 1e3:
         # Default-limit fast path: init + the full while_loop + the
-        # objective fused into ONE dispatch (TERCRI returns -2 at
+        # packed result fused into ONE dispatch (TERCRI returns -2 at
         # max_iter, so it always terminates); the only host round trip
-        # is the final bundled transfer.
-        carry, f_dev = _solve_full_jit(jnp.asarray(x0, dtype), tols, fns,
-                                       dims, opts, jnp.dtype(dtype).name)
+        # is the single-buffer transfer of the packed result.
+        flat = _solve_full_jit(jnp.asarray(x0, dtype), tols, fns,
+                               dims, opts, jnp.dtype(dtype).name)
+        return _unpack_result(jax.device_get(flat), dims.n, start_time)
     else:
         carry = _init_carry_jit(jnp.asarray(x0, dtype), fns, dims, opts,
                                 jnp.dtype(dtype).name)
@@ -477,14 +514,7 @@ def solve(fns: Functions, x0, dims: Dims, opts: Options, tols: Tols,
                 0.5 * per_iter, measured)
             if exit_code != 0:
                 break
-        f_dev = jnp.dot(carry.rx, carry.rx)
-    # ONE bundled host transfer for everything (x and display included:
-    # each extra device_get is a full round trip on this transport).
-    (exit_code, x, f, n_iter, n_display, counters, display) = jax.device_get(
-        (carry.exit_code, carry.x, f_dev, carry.nb_iter, carry.n_display,
-         carry.counters, carry.display))
-    return SolveResult(exit_code=int(exit_code), x=x, f=float(f),
-                       n_iter=int(n_iter), display=display,
-                       n_display=int(n_display),
-                       counters=jax.tree.map(int, counters),
-                       solving_time=time.time() - start_time)
+    # ONE single-buffer host transfer for everything (each extra
+    # device_get leaf is a full round trip on this transport).
+    return _unpack_result(jax.device_get(_pack_result_jit(carry)), dims.n,
+                          start_time)
