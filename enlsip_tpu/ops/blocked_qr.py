@@ -113,6 +113,48 @@ def _use_pallas(rows: int, cols: int, itemsize: int) -> bool:
             and fits_vmem(rows, cols, itemsize))
 
 
+def _use_batched_pallas(rows: int, cols: int, dtype) -> bool:
+    """Dispatch gate for the fused *batched* CPQR kernel
+    (ops/pallas_batched_qr.py): tiny factorizations under ``vmap`` on
+    TPU — the scenario-batch regime where the XLA loop runs at <1% of
+    HBM stream.  Single (unbatched) calls are unaffected: the kernel
+    only engages through the custom_vmap rule below."""
+    import os
+    if os.environ.get("ENLSIP_DISABLE_PALLAS"):
+        return False
+    from .pallas_batched_qr import MAX_ELEMS, MAX_KMAX
+    try:
+        backend = jax.default_backend()
+    except Exception:  # pragma: no cover - no backend configured
+        return False
+    return (backend in ("tpu", "axon") and dtype == jnp.float32
+            and min(rows, cols) <= MAX_KMAX and rows * cols <= MAX_ELEMS)
+
+
+@jax.custom_batching.custom_vmap
+def _cpqr_small(M: jax.Array, nsteps: jax.Array) -> CPQRF:
+    return _cpqr_xla(M, NB, nsteps)
+
+
+@_cpqr_small.def_vmap
+def _cpqr_small_vmap(axis_size, in_batched, M, nsteps):
+    """Under ``vmap`` a whole batch of tiny CPQRs runs as ONE fused
+    Pallas program per 512-lane block (ops/pallas_batched_qr.py) instead
+    of ~20 underutilized kernels per Householder step.  The fused kernel
+    runs all kmax steps; per-lane ``nsteps`` is safely ignored because
+    steps past the live-column count act on zero columns and produce
+    tau = 0 no-op reflectors (same values, bit-for-bit pivot order)."""
+    m_b, ns_b = in_batched
+    if m_b and M.ndim == 3:
+        from .pallas_batched_qr import cpqr_blocked_batched
+        out = cpqr_blocked_batched(M)
+    else:  # pragma: no cover - unexpected batching pattern
+        out = jax.vmap(lambda m, ns: _cpqr_xla(m, NB, ns),
+                       in_axes=(0 if m_b else None, 0 if ns_b else None),
+                       axis_size=axis_size)(M, nsteps)
+    return out, jax.tree.map(lambda _: True, out)
+
+
 def cpqr_blocked(M: jax.Array, nb: int = NB,
                  nsteps: jax.Array | None = None) -> CPQRF:
     """Column-pivoted QR of a fixed-shape buffer (zeroed invalid
@@ -125,12 +167,24 @@ def cpqr_blocked(M: jax.Array, nb: int = NB,
     it removes almost the whole sequential loop.
 
     Large factorizations on TPU dispatch to the fused Pallas kernel
-    (whole matrix resident in VMEM, ops/pallas_qr.py)."""
+    (whole matrix resident in VMEM, ops/pallas_qr.py); tiny ones route
+    through a custom_vmap wrapper so scenario batches hit the fused
+    batched kernel (ops/pallas_batched_qr.py)."""
     rows, cols = M.shape
     kmax = min(rows, cols)
     if _use_pallas(rows, cols, M.dtype.itemsize):
         from .pallas_qr2 import cpqr_pallas2
         return cpqr_pallas2(M, nsteps=nsteps)
+    if _use_batched_pallas(rows, cols, M.dtype):
+        ns = jnp.asarray(kmax if nsteps is None else nsteps, jnp.int32)
+        return _cpqr_small(M, ns)
+    return _cpqr_xla(M, nb, nsteps)
+
+
+def _cpqr_xla(M: jax.Array, nb: int, nsteps: jax.Array | None) -> CPQRF:
+    """The XLA rank-1-update loop (see module docstring)."""
+    rows, cols = M.shape
+    kmax = min(rows, cols)
     nb = min(nb, kmax) if kmax >= nb else kmax
     kp = -(-kmax // nb) * nb
     dtype = M.dtype
