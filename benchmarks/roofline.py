@@ -62,22 +62,26 @@ def measure_qr(rows=1998, cols=1000):
     return dt, min_bytes
 
 
-def measure_batched_qr(B=4096, rows=8, cols=8, naug=8):
+def measure_batched_qr(B=4096, rows=8, cols=8):
     """The batched small-CPQR regime that drives the HS-suite metric:
-    B lanes of (rows x cols) masked pivoted factorizations with naug
-    augmented columns, under vmap (ops/qr.py cpqr — the factorization
-    the batched driver runs up to twice per iteration per lane)."""
-    from enlsip_tpu.ops.qr import cpqr
+    B lanes of (rows x cols) pivoted factorizations.  Measures both the
+    fused batched Pallas kernel (ops/pallas_batched_qr.py — what the
+    batched solver dispatches to through custom_vmap) and the vmapped
+    XLA loop it replaced."""
+    from enlsip_tpu.ops.blocked_qr import _cpqr_xla, NB
+    from enlsip_tpu.ops.pallas_batched_qr import cpqr_blocked_batched
     rng = np.random.default_rng(2)
     M = jnp.asarray(rng.normal(size=(B, rows, cols)), jnp.float32)
-    aug = jnp.asarray(rng.normal(size=(B, rows, naug)), jnp.float32)
-    f = lambda M: jnp.sum(jax.vmap(lambda m, a: cpqr(m, a).R)(M, aug))
-    dt = _measure(f, M, iters=8)
+    f_pal = lambda M: jnp.sum(cpqr_blocked_batched(M).R)
+    f_xla = lambda M: jnp.sum(jax.vmap(
+        lambda m: _cpqr_xla(m, NB, None).R)(M))
+    dt_pal = _measure(f_pal, M, iters=8)
+    dt_xla = _measure(f_xla, M, iters=8)
     kmax = min(rows, cols)
-    # Minimum traffic per lane: 3 passes over (rows x (cols + naug))
-    # per step (norms on the factor block; v^T [A G]; rank-1 update).
-    min_bytes = B * 3 * kmax * rows * (cols + naug) * 4
-    return dt, min_bytes
+    # Minimum traffic per lane: 3 passes over (rows x cols) per step
+    # (norms; v^T B; rank-1 update) — the HBM-streaming lower bound.
+    min_bytes = B * 3 * kmax * rows * cols * 4
+    return dt_pal, dt_xla, min_bytes
 
 
 def main():
@@ -89,11 +93,16 @@ def main():
     print(f"vs HBM stream class:    {achieved / HBM_STREAM_GBS:6.1f}x "
           f"(VMEM residency gain)")
 
-    dt_b, bytes_b = measure_batched_qr()
-    achieved_b = bytes_b / dt_b / 1e9
-    print(f"batched small CPQR (4096 x 8x8 + 8 aug): {dt_b*1e6:8.1f} us")
-    print(f"achieved effective traffic: {achieved_b:8.1f} GB/s "
-          f"= {100 * achieved_b / HBM_STREAM_GBS:5.1f}% of HBM stream "
+    dt_pal, dt_xla, bytes_b = measure_batched_qr()
+    ach_pal = bytes_b / dt_pal / 1e9
+    ach_xla = bytes_b / dt_xla / 1e9
+    print(f"batched small CPQR (4096 x 8x8), fused Pallas: "
+          f"{dt_pal*1e6:8.1f} us | vmapped XLA loop: {dt_xla*1e6:8.1f} us "
+          f"({dt_xla/dt_pal:.1f}x)")
+    print(f"achieved effective traffic (fused): {ach_pal:8.1f} GB/s "
+          f"= {100 * ach_pal / HBM_STREAM_GBS:5.1f}% of HBM stream; "
+          f"XLA loop: {ach_xla:.1f} GB/s "
+          f"= {100 * ach_xla / HBM_STREAM_GBS:5.1f}% "
           f"(batched-QR roofline accounting)")
 
 
