@@ -488,6 +488,21 @@ def compute_steplength(res_fn, cons_fn, x, rx, J, cx, A,
     psi0 = 0.5 * (jnp.dot(_acc(rx), _acc(rx)) +
                   jnp.sum(jnp.where(act.valid, wa * cxa * cxa, 0.0)))
 
+    # Non-descent detection (:2238-2250 sets Ψ_error = -1 when dψ0 ≥ 0,
+    # → exit -6).  In f32 the two sums forming dψ0 cancel to roundoff at
+    # a stationary point, so a numerically-zero dψ0 can land at +1e-7
+    # and spuriously fail a solve that has in fact converged.  Only
+    # treat dψ0 as a true ascent signal when it clears the dtype noise
+    # floor of its own summands; at f64 the floor is ~1e-15·scale, i.e.
+    # reference-shaped (f64 trajectories are unchanged — golden-trace
+    # tested).
+    aAp_a = _acc(active_Ap)
+    dpsi_scale = (jnp.abs(jnp.dot(_acc(Jp), _acc(rx))) +
+                  jnp.sum(jnp.where(act.valid,
+                                    jnp.abs(wa * aAp_a * cxa), 0.0)))
+    noise_floor = 10.0 * jnp.finfo(dtype).eps * dpsi_scale
+    is_descent = dpsi0 < noise_floor
+
     def descent(cnt):
         alpha_upp, index_alpha_upp = upper_bound_steplength(
             A, cx, p, mask, index_del, dims)
@@ -497,7 +512,7 @@ def compute_steplength(res_fn, cons_fn, x, rx, J, cx, A,
         res = linesearch_constrained(
             x, alpha0, p, rx, cx, JpAp, w, mask, psi0, dpsi0, alpha_low,
             alpha_upp, res_fn, cons_fn, cnt, dims, max_refine, gac_max,
-            need=alive & (code != 2) & (dpsi0 < 0))
+            need=alive & (code != 2) & is_descent)
         alpha, cnt = res.alpha, res.counters
 
         def deriv_check(cnt):
@@ -534,7 +549,7 @@ def compute_steplength(res_fn, cons_fn, x, rx, J, cx, A,
                 jnp.asarray(False), cnt)
 
     def gn_path(cnt):
-        return lax.cond(dpsi0 >= 0, nondescent, descent, cnt)
+        return lax.cond(~is_descent, nondescent, descent, cnt)
 
     def newton_path(cnt):
         # undamped step (:2284-2291); weights stay w_old
