@@ -285,6 +285,26 @@ def bench_giant_m(dtype=jnp.float32, max_iter=8):
     return max(n_iter, 1) / dt, n_iter, int(exit_code), int(t_act)
 
 
+def bench_hs_suite_subprocess(dtype_name: str, timeout_s: float = 1500):
+    """Full 28-problem HS suite %-matched-optima (BASELINE's headline
+    accuracy metric) in a subprocess: one fused launch for the whole
+    suite (benchmarks/hs_suite_bench.py); f64 gets JAX_ENABLE_X64=1
+    without polluting this process's f32 benches."""
+    import subprocess
+    env = dict(_os.environ)
+    if dtype_name == "f64":
+        env["JAX_ENABLE_X64"] = "1"
+    script = _os.path.join(_os.path.dirname(_os.path.abspath(__file__)),
+                           "benchmarks", "hs_suite_bench.py")
+    p = subprocess.run([sys.executable, script, dtype_name],
+                       capture_output=True, text=True, timeout=timeout_s,
+                       env=env)
+    if p.returncode != 0:
+        raise RuntimeError(p.stderr.strip().splitlines()[-1][:120]
+                           if p.stderr.strip() else f"rc={p.returncode}")
+    return json.loads(p.stdout.strip().splitlines()[-1])
+
+
 def _qr_path():
     """Which CPQR path the CR n=1000 factorizations actually take
     (the J2 buffer there is ~(1998, 1000) f32)."""
@@ -310,6 +330,12 @@ def main():
         het_rate, het_match = bench_hetero_suite()
     except Exception as e:  # pragma: no cover
         het_rate, het_match = None, str(e)[:80]
+    hs_suite = {}
+    for dt in ("f32", "f64"):
+        try:
+            hs_suite[dt] = bench_hs_suite_subprocess(dt)
+        except Exception as e:  # pragma: no cover
+            hs_suite[dt] = {"error": str(e)[:80]}
     out = {
         "metric": "chained_rosenbrock_n1000_solve_seconds",
         "value": round(t_cr, 4),
@@ -339,6 +365,14 @@ def main():
         "hetero_suite_match_rate": (round(het_match, 4)
                                     if isinstance(het_match, float)
                                     else het_match),
+        "hs_suite_match_f32": hs_suite["f32"].get("matched"),
+        "hs_suite_match_f64": hs_suite["f64"].get("matched"),
+        "hs_suite_total": hs_suite["f32"].get("total",
+                                              hs_suite["f64"].get("total")),
+        "hs_suite_misses_f32": hs_suite["f32"].get(
+            "misses", hs_suite["f32"].get("error")),
+        "hs_suite_misses_f64": hs_suite["f64"].get(
+            "misses", hs_suite["f64"].get("error")),
         "qr_path": _qr_path(),
         "device": str(jax.devices()[0]),
     }

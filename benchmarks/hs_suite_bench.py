@@ -1,0 +1,78 @@
+"""Full Hock-Schittkowski suite %-matched-optima measurement.
+
+Runs all 28 suite problems from their standard starting points in ONE
+fused heterogeneous launch (parallel/hetero.py — one compile for the
+whole suite) at the requested dtype, and prints ONE JSON line:
+
+    {"dtype": "f32", "matched": 22, "total": 28, "misses": [...]}
+
+This is BASELINE.json's headline accuracy metric ("% matched optima vs
+Enlsip within first-order tolerance"; reference accuracy target:
+/root/reference/docs/src/tutorial.md:126-128).  Every miss is
+oracle-adjudicated in tests/test_hs_suite.py: the reference-derived
+numpy oracle produces the same outcome from the same start at the same
+evaluation precision (alternate stationary points hs2/hs13, abnormal
+exits hs16/hs27, and at f32 the precision-limited hs30/hs57).
+
+Usage: python benchmarks/hs_suite_bench.py {f32|f64}
+(f64 requires JAX_ENABLE_X64=1 in the environment; bench.py launches
+this as a subprocess so the x64 flag never pollutes the f32 benches).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import jax
+
+_repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, _repo)
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.join(_repo, ".jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+import jax.numpy as jnp  # noqa: E402
+import numpy as np  # noqa: E402
+
+MATCH_RTOL = 1e-5
+
+
+def run(dtype_name: str) -> dict:
+    from enlsip_tpu.core.types import Options, Tols
+    from enlsip_tpu.parallel.hetero import fuse_families, solve_suite_fused
+    from enlsip_tpu.parallel.suite import hs_scenario_batch
+    from enlsip_tpu.problems import HS_PROBLEMS
+
+    dtype = jnp.float64 if dtype_name == "f64" else jnp.float32
+    if dtype_name == "f64" and not jax.config.jax_enable_x64:
+        raise RuntimeError("f64 suite needs JAX_ENABLE_X64=1")
+
+    def _tols(dt):
+        eps = float(jnp.finfo(dt).eps)
+        rel = float(np.sqrt(eps))
+        return Tols(*(jnp.asarray(v, dt)
+                      for v in (1e-10, rel, rel, rel, rel)))
+
+    names = sorted(HS_PROBLEMS)
+    # per_family=1, scale=0.0: exactly the published standard starts.
+    fams = hs_scenario_batch(names, per_family=1, scale=0.0)
+    fused = fuse_families(fams)
+    t0 = time.time()
+    out = solve_suite_fused(fams, Options(), _tols, dtype=dtype, fused=fused)
+    jax.block_until_ready(out[names[0]].f)
+    dt = time.time() - t0
+    misses = []
+    for n in names:
+        f, fstar = float(out[n].f[0]), fams[n].fstar
+        if not abs(f - fstar) <= MATCH_RTOL * (1 + abs(fstar)):
+            misses.append(n)
+    return {"dtype": dtype_name, "matched": len(names) - len(misses),
+            "total": len(names), "misses": misses,
+            "wall_seconds": round(dt, 1)}
+
+
+if __name__ == "__main__":
+    print(json.dumps(run(sys.argv[1] if len(sys.argv) > 1 else "f32")))

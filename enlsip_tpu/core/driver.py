@@ -232,7 +232,7 @@ def init_carry(fns: Functions, x0, dims: Dims, opts: Options,
     x0 = jnp.asarray(x0, dtype)
     counters = Counters.zeros()
     rx, J, cx, A, counters = new_point(fns, x0, counters)
-    mask, w0, K = init_working_set(cx, dims, rdims)
+    mask, w0, K = init_working_set(cx, A, x0, dims, rdims)
     gf = J.T @ rx
     prev = PrevIter(
         x=x0, rx_sum=jnp.dot(rx, rx), cx_sum=_cx_sq_sum(cx, dims, rdims),
@@ -249,7 +249,7 @@ def init_carry(fns: Functions, x0, dims: Dims, opts: Options,
         nb_newton_steps=jnp.int32(0), nb_iter=jnp.int32(0),
         exit_code=jnp.int32(0), counters=counters,
         display=jnp.zeros((opts.max_iter + 1, 5), dtype),
-        n_display=jnp.int32(0), time_exceeded=jnp.asarray(False))
+        n_display=jnp.int32(0))
 
 
 def iterate_body(carry: Carry, fns: Functions, dims: Dims, opts: Options,
@@ -327,8 +327,7 @@ def _post_direction(carry: Carry, fns: Functions, dims: Dims, opts: Options,
         wsr.grad_res, wsr.act.cx_act, wsr.act.A_act, wsr.act.valid, t,
         x_new, carry.prev.x, cx_new, wsr.mask, rx_sum_new, gf_new,
         carry.nb_iter, opts.max_iter, tols, ana.error_code, sigma_min,
-        lam_abs_max, sl.psi_error, nb_newton, sl.w, act_idx,
-        carry.time_exceeded, dims, rdims)
+        lam_abs_max, sl.psi_error, nb_newton, sl.w, act_idx, dims, rdims)
 
     # --- bookkeeping: display, EVADD, prev snapshot -------------------
     record = (carry.nb_iter == 0) | (exit_code == 0)
@@ -362,7 +361,7 @@ def _post_direction(carry: Carry, fns: Functions, dims: Dims, opts: Options,
         nb_newton_steps=nb_newton,
         nb_iter=carry.nb_iter + jnp.where(record, 1, 0),
         exit_code=exit_code, counters=counters, display=display,
-        n_display=n_display, time_exceeded=carry.time_exceeded)
+        n_display=n_display)
 
 
 def guarded_body(carry: Carry, fns: Functions, dims: Dims, opts: Options,

@@ -398,21 +398,25 @@ def linesearch_constrained(x, alpha0, p, rx, cx, JpAp, w, mask, psi0, dpsi0,
 
 # -------------------------------------------------------------- UPBND
 
-def upper_bound_steplength(A, cx, p, mask, index_del, dims: Dims):
+def upper_bound_steplength(A, cx, p, x, mask, index_del, dims: Dims):
     """UPBND (:2149-2178): alpha_upp = min(3, min over inactive j with
     cx_j > 0, grad_j^T p < 0 of -cx_j / grad_j^T p); returns the capping
     constraint's global index (-1 if none).
 
-    Deviation (f32 robustness): the positivity test uses the EVADD add
-    threshold sqrt(eps) instead of strict 0 — an inactive constraint
-    below it is either already in W or was refused at working-set
-    capacity; in f32 such a boundary constraint's cx rounds to +O(eps)
-    and the strict test would cap alpha at ~eps and stall the lane
-    (the f64 reference sees an exact 0 there and excludes it)."""
-    eps_add = jnp.sqrt(jnp.finfo(cx.dtype).eps)
+    Deviation D7 (f32 robustness): the positivity test uses the
+    constraint's own evaluation-noise scale eps*(1 + |grad c_j|*|x|)
+    instead of strict 0.  A cx that is zero up to f32 roundoff is ON the
+    boundary (the f64 reference sees an exact 0 there and excludes it);
+    the strict test would turn its roundoff residue into an ~eps step
+    cap and stall the lane.  A cx genuinely above its noise scale is a
+    real interior constraint and MUST cap the step (an earlier sqrt(eps)
+    threshold let near-boundary starts fly deep infeasible and fail -6
+    in recovery — pinned by tests/test_dpsi0_floor.py)."""
+    row_norm = jnp.sqrt(jnp.sum(A * A, axis=1))                 # (l,)
+    noise = jnp.finfo(cx.dtype).eps * (1.0 + row_norm * jnp.linalg.norm(x))
     Ap = A @ p  # (l,)
     idx = jnp.arange(dims.l)
-    cand = (~mask) & (idx != index_del) & (cx > eps_add) & (Ap < 0.0)
+    cand = (~mask) & (idx != index_del) & (cx > noise) & (Ap < 0.0)
     alpha_j = -cx / jnp.where(Ap != 0, Ap, 1.0)
     vals = jnp.where(cand, alpha_j, jnp.inf)
     amin = jnp.min(vals)
@@ -479,7 +483,7 @@ def compute_steplength(res_fn, cons_fn, x, rx, J, cx, A,
     active_global = view.active_list[:tmax]
 
     # ---- penalty weights + dpsi0 (code != 2 path) ---------------------
-    w, dpsi0, K_new = penalty_weight_update(
+    w, dpsi0, dpsi_scale, K_new = penalty_weight_update(
         w_old, Jp, active_Ap, K, rx, cx, active_global, act.valid, t, dimA,
         weight_code, dims, eucmod_max, need=alive & (code != 2))
 
@@ -493,19 +497,16 @@ def compute_steplength(res_fn, cons_fn, x, rx, J, cx, A,
     # a stationary point, so a numerically-zero dψ0 can land at +1e-7
     # and spuriously fail a solve that has in fact converged.  Only
     # treat dψ0 as a true ascent signal when it clears the dtype noise
-    # floor of its own summands; at f64 the floor is ~1e-15·scale, i.e.
-    # reference-shaped (f64 trajectories are unchanged — golden-trace
-    # tested).
-    aAp_a = _acc(active_Ap)
-    dpsi_scale = (jnp.abs(jnp.dot(_acc(Jp), _acc(rx))) +
-                  jnp.sum(jnp.where(act.valid,
-                                    jnp.abs(wa * aAp_a * cxa), 0.0)))
+    # floor of its own summands (dpsi_scale: pre-cancellation summand
+    # magnitudes, fcx-gated identically to dpsi0 — see weights.py); at
+    # f64 the floor is ~1e-15·scale, i.e. reference-shaped.  Documented
+    # deviation D10 in PARITY.md, pinned by tests/test_dpsi0_floor.py.
     noise_floor = 10.0 * jnp.finfo(dtype).eps * dpsi_scale
     is_descent = dpsi0 < noise_floor
 
     def descent(cnt):
         alpha_upp, index_alpha_upp = upper_bound_steplength(
-            A, cx, p, mask, index_del, dims)
+            A, cx, p, x, mask, index_del, dims)
         alpha_low = alpha_upp / 3000.0
         magfy = jnp.where(rankJ2 < prev.rankJ2, 6.0, 3.0)
         alpha0 = jnp.minimum(jnp.minimum(1.0, magfy * prev.alpha), alpha_upp)

@@ -21,7 +21,7 @@ def check_termination(p, code, restart, deleted, d_gn, dimJ2, grad_res,
                       act_cx, act_A, act_valid, t, x, prev_x, cx, mask,
                       rx_sum, gf, nb_iter, max_iter: int, tols: Tols,
                       error_code, sigma_min, lam_abs_max, psi_error,
-                      nb_newton_steps, w, active_global, time_exceeded,
+                      nb_newton_steps, w, active_global,
                       dims: Dims, rdims=None) -> jax.Array:
     """TERCRI.  All inputs are post-step values except the factorization
     products (grad_res, d_gn, act_*) which come from the direction
@@ -79,10 +79,14 @@ def check_termination(p, code, restart, deleted, d_gn, dimJ2, grad_res,
         # separates the two where x_diff cannot.  f64 keeps the exact
         # reference-shaped test (this branch is dtype-static).
         stuck = stuck & (act_cx_nrm > tols.eps_c)
+    # -11 (time limit, reference :2511-2512) is assigned HOST-side by the
+    # chunked drivers (core/driver.solve, parallel/batch.solve_batched):
+    # a device loop cannot read the wall clock, and a -11 iteration is
+    # never display-recorded in the reference either, so the observable
+    # state is identical.
     abn = jnp.where(nb_iter >= max_iter, -2,
           jnp.where((error_code >= -5) & (error_code <= -3), error_code,
           jnp.where(nb_newton_steps > 5, -9,
           jnp.where(psi_error == -1, -6,
-          jnp.where(stuck, -10,
-          jnp.where(time_exceeded, -11, 0))))))
+          jnp.where(stuck, -10, 0)))))
     return jnp.where(exit_code == 0, abn, exit_code).astype(jnp.int32)

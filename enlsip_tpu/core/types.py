@@ -179,7 +179,6 @@ class Carry(NamedTuple):
     counters: Counters
     display: jax.Array    # (max_iter+1, 5): objective, act_cx_sum, |p|, alpha, progress
     n_display: jax.Array  # number of valid display rows
-    time_exceeded: jax.Array  # bool, set host-side between chunks
 
 
 class WorkingView(NamedTuple):

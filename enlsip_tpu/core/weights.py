@@ -163,11 +163,17 @@ def penalty_weight_update(w_old: jax.Array, Jp: jax.Array,
                           valid: jax.Array, t: jax.Array, dimA: jax.Array,
                           norm_code: int, dims: Dims, max_passes: int,
                           need=None
-                          ) -> tuple[jax.Array, jax.Array, jax.Array]:
-    """WEIGHT (:1545-1629).  Returns (w, dpsi0, K_updated).
+                          ) -> tuple[jax.Array, jax.Array, jax.Array,
+                                     jax.Array]:
+    """WEIGHT (:1545-1629).  Returns (w, dpsi0, dpsi_scale, K_updated).
 
     The reference normalizes Jp/Ap/rx/cx and rescales every product; the
     net quantities are the plain inner products computed here.
+
+    ``dpsi_scale`` is the sum of the magnitudes of dpsi0's own summands
+    (pre-cancellation), including the same fcx zeroing applied to the
+    constraint term — the correct roundoff scale for the descent test's
+    noise floor (see compute_steplength / PARITY.md D10).
     """
     delta = 0.25
     tmax = active_Ap.shape[0]
@@ -210,7 +216,13 @@ def penalty_weight_update(w_old: jax.Array, Jp: jax.Array,
 
     # dpsi0 decides descent vs -6 abort; accumulate at decision precision.
     w_act = _acc(w[active_global])
-    BtwA2 = _acc(fcx) * jnp.sum(jnp.where(valid, w_act * _acc(active_Ap) *
-                                          _acc(cx_act), 0.0))
-    dpsi0 = BtwA2 + jnp.dot(_acc(Jp), _acc(rx))
-    return w, dpsi0, K_new
+    cons_terms = jnp.where(valid, w_act * _acc(active_Ap) * _acc(cx_act), 0.0)
+    BtwA2 = _acc(fcx) * jnp.sum(cons_terms)
+    Jp_a, rx_a = _acc(Jp), _acc(rx)
+    dpsi0 = BtwA2 + jnp.dot(Jp_a, rx_a)
+    # Roundoff scale of dpsi0: summand magnitudes BEFORE cancellation
+    # (|Jp_i·rx_i| element sums, not |Jp·rx|), constraint term gated by
+    # the same fcx that gates dpsi0's constraint term.
+    dpsi_scale = (jnp.sum(jnp.abs(Jp_a * rx_a)) +
+                  _acc(fcx) * jnp.sum(jnp.abs(cons_terms)))
+    return w, dpsi0, dpsi_scale, K_new

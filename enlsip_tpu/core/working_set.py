@@ -22,14 +22,29 @@ from ..ops.select_update import set1
 from .types import Dims, rdims_or, working_view
 
 
-def init_working_set(cx: jax.Array, dims: Dims, rdims=None
-                     ) -> tuple[jax.Array, jax.Array, jax.Array]:
+def init_working_set(cx: jax.Array, A: jax.Array, x: jax.Array, dims: Dims,
+                     rdims=None) -> tuple[jax.Array, jax.Array, jax.Array]:
     """INIALC: initial mask (equalities + non-positive inequalities),
     initial penalty weights w_i = min(|cx_i| + 0.01, 0.1), and the
-    penalty history K = 0.1 * ones(4, l)."""
+    penalty history K = 0.1 * ones(4, l).
+
+    Deviation D7 (f32 robustness): the activity test is
+    cx <= eps*(1 + |grad c_j|*|x|) — the constraint's evaluation-noise
+    scale — instead of the reference's cx <= 0.  A cx that is zero up
+    to dtype roundoff is ON the boundary; at f32 it can round to +1e-6
+    and would otherwise be neither in the initial working set nor a
+    step-cap candidate in UPBND (which uses the SAME noise window,
+    linesearch.upper_bound_steplength), letting the first unconstrained
+    GN step fly deep infeasible.  Together the two windows leave no
+    gap: every inactive constraint either caps the step (cx > noise)
+    or starts active (cx <= noise).  The reference's own EVADD treats
+    near-boundary constraints the same way (adds inactive cx < sqrt(eps),
+    :608-650); at f64 the window is ~1e-14*scale."""
     l, q = dims.l, rdims_or(rdims, dims).q
     idx = jnp.arange(l)
-    mask = (idx < q) | ((idx >= q) & (cx <= 0.0))
+    row_norm = jnp.sqrt(jnp.sum(A * A, axis=1))
+    noise = jnp.finfo(cx.dtype).eps * (1.0 + row_norm * jnp.linalg.norm(x))
+    mask = (idx < q) | ((idx >= q) & (cx <= noise))
     w = jnp.minimum(jnp.abs(cx) + 0.01, 0.1)
     K = jnp.full((4, l), 0.1, dtype=cx.dtype)
     return mask, w, K

@@ -18,6 +18,7 @@ that XLA inserts automatically (see parallel/sharding.py).
 
 from __future__ import annotations
 
+import time
 from functools import partial
 from typing import NamedTuple
 
@@ -112,9 +113,37 @@ def _solve_batched_jit(x0_batch, data, rdims, fns: Functions, dims: Dims,
     return finalize(carry)
 
 
+@partial(jax.jit, static_argnames=("fns", "dims", "opts", "dtype_name"))
+def _init_batch_jit(x0_batch, data, rdims, fns: Functions, dims: Dims,
+                    opts: Options, dtype_name) -> Carry:
+    return init_batch(fns, x0_batch, dims, opts, jnp.dtype(dtype_name),
+                      data, rdims)
+
+
+@partial(jax.jit, static_argnames=("fns", "dims", "opts"))
+def _run_batch_chunk_jit(carry: Carry, tols: Tols, chunk, data, rdims,
+                         fns: Functions, dims: Dims, opts: Options) -> Carry:
+    """Up to ``chunk`` lockstep trips; ``chunk`` is TRACED so every chunk
+    size shares one compiled executable (same scheme as the single-solve
+    driver's _run_chunk_jit)."""
+    body = partial(batched_guarded_body, fns=fns, dims=dims, opts=opts,
+                   tols=tols, data=data, rdims=rdims)
+
+    def cond(state):
+        c, trips = state
+        return jnp.any(c.exit_code == 0) & (trips < chunk)
+
+    def step(state):
+        c, trips = state
+        return body(c), trips + 1
+
+    final, _ = lax.while_loop(cond, step, (carry, jnp.int32(0)))
+    return final
+
+
 def solve_batched(fns: Functions, x0_batch, dims: Dims, opts: Options,
-                  tols: Tols, dtype=None, data=None,
-                  rdims=None) -> BatchResult:
+                  tols: Tols, dtype=None, data=None, rdims=None,
+                  time_limit: float = 1e3) -> BatchResult:
     """One-call batched solve of B same-shaped CNLS instances.
 
     ``fns`` must be hashable (e.g. a Functions of top-level closures).
@@ -124,9 +153,46 @@ def solve_batched(fns: Functions, x0_batch, dims: Dims, opts: Options,
     ``(x, data)`` and lane i is called with ``data`` sliced at i.
     ``rdims``: per-lane RDims (int32 leaves shaped (B,)) for
     heterogeneous fused batches; see parallel/hetero.py.
+
+    ``time_limit``: wall-clock budget in seconds (reference
+    enlsip_functions.jl:2836, 2511-2512 checks elapsed time every
+    iteration).  With the default (1e3 s) the whole batch is ONE
+    dispatch; a custom limit runs adaptive chunks (one measured trip,
+    then chunks sized to half the remaining budget) and lanes still
+    running when the budget expires exit -11 (:time_limit_exceeded),
+    exactly like the single-solve driver.
     """
     x0_batch = jnp.asarray(x0_batch)
     dtype = dtype or x0_batch.dtype
     data = () if data is None else jax.tree.map(jnp.asarray, data)
-    return _solve_batched_jit(x0_batch.astype(dtype), data, rdims, fns, dims,
-                              opts, tols, None, jnp.dtype(dtype).name)
+    if time_limit >= 1e3:
+        return _solve_batched_jit(x0_batch.astype(dtype), data, rdims, fns,
+                                  dims, opts, tols, None,
+                                  jnp.dtype(dtype).name)
+    start_time = time.time()
+    carry = _init_batch_jit(x0_batch.astype(dtype), data, rdims, fns, dims,
+                            opts, jnp.dtype(dtype).name)
+    cap = opts.max_iter + 2
+    per_trip = None
+    while True:
+        remaining_t = time_limit - (time.time() - start_time)
+        if remaining_t <= 0:
+            # Budget exhausted: still-running lanes exit -11.
+            carry = carry._replace(exit_code=jnp.where(
+                carry.exit_code == 0, jnp.int32(-11), carry.exit_code))
+            break
+        if per_trip is None:
+            chunk = 1  # measurement trip (absorbs cold compile too)
+        else:
+            chunk = max(1, min(cap, int(0.5 * remaining_t / per_trip)))
+        t0 = time.time()
+        carry = _run_batch_chunk_jit(carry, tols, jnp.int32(chunk), data,
+                                     rdims, fns, dims, opts)
+        any_running = bool(jnp.any(carry.exit_code == 0))  # syncs
+        dt = time.time() - t0
+        measured = dt / chunk
+        per_trip = measured if per_trip is None else max(0.5 * per_trip,
+                                                         measured)
+        if not any_running:
+            break
+    return finalize(carry)

@@ -42,7 +42,6 @@ def load_carry(path: str, like: Carry | None = None) -> Carry:
         x=0, rx=0, cx=0, J=0, A=0, gf=0, active_mask=0, w=0, K=0,
         prev=PrevIter(*([0] * len(PrevIter._fields))),
         restart=0, index_del=0, nb_newton_steps=0, nb_iter=0, exit_code=0,
-        counters=Counters(0, 0, 0, 0), display=0, n_display=0,
-        time_exceeded=0)
+        counters=Counters(0, 0, 0, 0), display=0, n_display=0)
     treedef = jax.tree.structure(example)
     return jax.tree.unflatten(treedef, leaves)

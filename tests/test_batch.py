@@ -78,3 +78,29 @@ def test_solve_batched_sharded_pads_uneven(eight_devices):
                                 opts, tols, mesh=mesh)
     assert res.x.shape == (5, 3)
     assert (np.asarray(res.exit_code) > 0).all()
+
+
+def test_solve_batched_time_limit_expired():
+    """time_limit <= 0: every unconverged lane exits -11
+    (:time_limit_exceeded), mirroring the reference's chained_rosenbrock
+    time-limit test (test/problems/chained_rosenbrock.jl:69-72)."""
+    fns, dims, opts, tols = _hs65_setup()
+    res = solve_batched(fns, _perturbed_starts(8), dims, opts, tols,
+                        time_limit=-1.0)
+    assert (np.asarray(res.exit_code) == -11).all(), np.asarray(res.exit_code)
+
+
+def test_solve_batched_time_limit_generous_matches_unlimited():
+    """A generous custom limit must produce the same per-lane results as
+    the unlimited single-dispatch path (the chunked loop is a pure
+    scheduling change)."""
+    fns, dims, opts, tols = _hs65_setup()
+    starts = _perturbed_starts(8, seed=2)
+    ref = solve_batched(fns, starts, dims, opts, tols)
+    lim = solve_batched(fns, starts, dims, opts, tols, time_limit=500.0)
+    np.testing.assert_array_equal(np.asarray(ref.exit_code),
+                                  np.asarray(lim.exit_code))
+    np.testing.assert_allclose(np.asarray(ref.x), np.asarray(lim.x),
+                               atol=0.0)
+    np.testing.assert_array_equal(np.asarray(ref.n_iter),
+                                  np.asarray(lim.n_iter))

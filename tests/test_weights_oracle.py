@@ -159,7 +159,7 @@ def test_weight_update_dpsi0_identity():
     active_Ap = np.where(valid, rng.normal(size=l), 0.0)
     w_old = np.abs(rng.normal(size=l)) * 0.1 + 0.05
     K = np.full((4, l), 0.05)
-    w, dpsi0, K_new = penalty_weight_update(
+    w, dpsi0, dpsi_scale, K_new = penalty_weight_update(
         jnp.asarray(w_old), jnp.asarray(Jp), jnp.asarray(active_Ap),
         jnp.asarray(K), jnp.asarray(rx), jnp.asarray(cx),
         jnp.asarray(active_global), jnp.asarray(valid), jnp.int32(3),
@@ -170,6 +170,12 @@ def test_weight_update_dpsi0_identity():
         k = int(active_global[slot])
         expect += w_np[k] * active_Ap[slot] * cx[k]
     np.testing.assert_allclose(float(dpsi0), expect, rtol=1e-10)
+    # dpsi_scale = pre-cancellation summand magnitudes of dpsi0
+    scale_expect = float(np.sum(np.abs(Jp * rx)))
+    for slot in range(3):
+        k = int(active_global[slot])
+        scale_expect += abs(w_np[k] * active_Ap[slot] * cx[k])
+    np.testing.assert_allclose(float(dpsi_scale), scale_expect, rtol=1e-10)
     # weights never drop below the K4 floor on active constraints
     for slot in range(3):
         k = int(active_global[slot])

@@ -28,16 +28,36 @@ def test_working_view_all_and_none():
 
 
 def test_init_working_set():
-    """INIALC: equalities always active; inequalities active iff cx <= 0;
+    """INIALC: equalities always active; inequalities active iff
+    cx <= noise scale (reference: cx <= 0; see PARITY.md D7);
     w = min(|cx| + 0.01, 0.1); K = 0.1."""
     dims = Dims(n=5, m=4, q=2, l=6)
     cx = jnp.asarray([1.0, -1.0, -0.5, 0.3, 0.0, 2.0])
-    mask, w, K = init_working_set(cx, dims)
+    A = jnp.ones((6, 5))
+    x = jnp.ones(5)
+    mask, w, K = init_working_set(cx, A, x, dims)
     np.testing.assert_array_equal(
         np.asarray(mask), [True, True, True, False, True, False])
     np.testing.assert_allclose(
         np.asarray(w), [0.1, 0.1, 0.1, 0.1, 0.01, 0.1])
     assert np.all(np.asarray(K) == 0.1)
+
+
+def test_init_working_set_noise_window():
+    """An inequality whose cx is positive but below its evaluation-noise
+    scale eps*(1 + |grad c|*|x|) starts ACTIVE (f32: it is on the
+    boundary as far as the dtype can tell); above the scale it starts
+    inactive.  Closes the D7 gap with UPBND's candidacy window."""
+    dims = Dims(n=3, m=3, q=0, l=2)
+    dtype = jnp.float32
+    x = jnp.asarray([3.65, 3.65, 4.62], dtype)
+    A = jnp.asarray([[-7.3, -7.3, -9.24], [1.0, 0.0, 0.0]], dtype)
+    eps = float(jnp.finfo(dtype).eps)
+    noise0 = eps * (1.0 + float(jnp.linalg.norm(A[0])) *
+                    float(jnp.linalg.norm(x)))
+    cx = jnp.asarray([0.5 * noise0, 10.0 * noise0], dtype)
+    mask, _, _ = init_working_set(cx, A, x, dims)
+    np.testing.assert_array_equal(np.asarray(mask), [True, False])
 
 
 def test_evadd_adds_violated():
