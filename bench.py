@@ -167,9 +167,14 @@ def bench_ode_fit_batched(B=10_000, dtype=jnp.float32):
     return B / dt, float(np.mean(f < 1e-3))
 
 
-def bench_hetero_suite(per_family=512, dtype=jnp.float32):
+def bench_hetero_suite(per_family=512, dtype=jnp.float32, names=None,
+                       second_derivatives=False):
     """Mixed-(n, m, q, l) HS families in ONE fused jitted launch
-    (parallel/hetero.py) — the heterogeneous scenario-batch config."""
+    (parallel/hetero.py) — the heterogeneous scenario-batch config.
+
+    The default family set converges under GN-only from perturbed
+    starts; pass ``second_derivatives=True`` (and include hs42) for the
+    fused-Newton regime row."""
     from enlsip_tpu.core.types import Options
     from enlsip_tpu.parallel.hetero import solve_suite_fused
     from enlsip_tpu.parallel.suite import hs_scenario_batch
@@ -177,15 +182,12 @@ def bench_hetero_suite(per_family=512, dtype=jnp.float32):
     from enlsip_tpu.parallel.hetero import fuse_families
 
     # Five families with genuinely distinct (n, m, q, l): n 2-5, m 2-4,
-    # q 0-3, l 1-13.  All converge under GN-only from perturbed starts
-    # (hs42 is excluded here: a third of its perturbed lanes correctly
-    # request a Newton step, which this GN-only throughput config
-    # reports as exit -4 — that semantics is covered by
-    # tests/test_hetero.py's KNIFE_EDGE set, not benchmarked).
-    names = ["hs14", "hs65", "hs26", "hs53", "hs79"]
+    # q 0-3, l 1-13.
+    if names is None:
+        names = ["hs14", "hs65", "hs26", "hs53", "hs79"]
     fams = hs_scenario_batch(names, per_family=per_family, seed=0)
     B = sum(f.x0_batch.shape[0] for f in fams.values())
-    opts = Options(max_iter=60, second_derivatives=False)
+    opts = Options(max_iter=60, second_derivatives=second_derivatives)
 
     # The union closures are the jit cache key: build them ONCE so the
     # measured call reuses the compiled executable.
@@ -203,6 +205,31 @@ def bench_hetero_suite(per_family=512, dtype=jnp.float32):
                            < 1e-3 * max(1.0, abs(fam.fstar)))
     match_rate = float(np.mean(np.concatenate(matched))) if matched else None
     return B / dt, match_rate
+
+
+def bench_hetero_100k(dtype=jnp.float32):
+    """The scenario batch at design-point scale on ONE chip: 100k mixed
+    lanes (BASELINE configs[3] names 1M lanes across v5e-16 — 62.5k/chip;
+    the 1M-lane 8-device layout is dryrun-proven in __graft_entry__
+    layout 5).  Returns (solves/s, match_rate, peak_hbm_gb)."""
+    rate, match = bench_hetero_suite(per_family=20_000, dtype=dtype)
+    peak = None
+    try:
+        stats = jax.devices()[0].memory_stats()
+        peak = round(stats.get("peak_bytes_in_use", 0) / 2**30, 2)
+    except Exception:  # pragma: no cover - transport-dependent
+        pass
+    return rate, match, peak
+
+
+def bench_hetero_newton(per_family=512, dtype=jnp.float32):
+    """The HARD hetero regime: second_derivatives=True including hs42,
+    whose perturbed lanes genuinely request fused-Newton steps under
+    per-lane RDims (the path tests/test_hetero.py exercises at B=8)."""
+    return bench_hetero_suite(
+        per_family=per_family, dtype=dtype,
+        names=["hs14", "hs65", "hs26", "hs53", "hs79", "hs42"],
+        second_derivatives=True)
 
 
 # --------------------------- giant-m (module-level for fn identity) ---
@@ -319,6 +346,10 @@ def main():
     except Exception as e:  # pragma: no cover - keep the headline alive
         hs_rate, hs_match, hs_strict = None, None, str(e)[:80]
     try:
+        hs4k_rate, hs4k_match, _ = bench_batched_hs65(B=4096)
+    except Exception as e:  # pragma: no cover
+        hs4k_rate, hs4k_match = None, str(e)[:80]
+    try:
         gm_rate, gm_iters, gm_exit, gm_t = bench_giant_m()
     except Exception as e:  # pragma: no cover - keep the headline alive
         gm_rate, gm_iters, gm_exit, gm_t = None, None, str(e)[:80], None
@@ -330,6 +361,14 @@ def main():
         het_rate, het_match = bench_hetero_suite()
     except Exception as e:  # pragma: no cover
         het_rate, het_match = None, str(e)[:80]
+    try:
+        het100k_rate, het100k_match, het100k_peak = bench_hetero_100k()
+    except Exception as e:  # pragma: no cover
+        het100k_rate, het100k_match, het100k_peak = None, str(e)[:80], None
+    try:
+        hetN_rate, hetN_match = bench_hetero_newton()
+    except Exception as e:  # pragma: no cover
+        hetN_rate, hetN_match = None, str(e)[:80]
     hs_suite = {}
     for dt in ("f32", "f64"):
         try:
@@ -350,6 +389,11 @@ def main():
         "hs65_batched_match_and_converged_rate": (
             round(hs_strict, 4) if isinstance(hs_strict, float)
             else hs_strict),
+        "hs65_batched_4096_solves_per_sec": (round(hs4k_rate, 1)
+                                             if hs4k_rate else hs4k_rate),
+        "hs65_batched_4096_match_rate": (round(hs4k_match, 4)
+                                         if isinstance(hs4k_match, float)
+                                         else hs4k_match),
         "giant_m_5m_iters_per_sec": (round(gm_rate, 2)
                                      if gm_rate else gm_rate),
         "giant_m_iters": gm_iters,
@@ -365,6 +409,17 @@ def main():
         "hetero_suite_match_rate": (round(het_match, 4)
                                     if isinstance(het_match, float)
                                     else het_match),
+        "hetero_100k_solves_per_sec": (round(het100k_rate, 1)
+                                       if het100k_rate else het100k_rate),
+        "hetero_100k_match_rate": (round(het100k_match, 4)
+                                   if isinstance(het100k_match, float)
+                                   else het100k_match),
+        "hetero_100k_peak_hbm_gb": het100k_peak,
+        "hetero_newton_solves_per_sec": (round(hetN_rate, 1)
+                                         if hetN_rate else hetN_rate),
+        "hetero_newton_match_rate": (round(hetN_match, 4)
+                                     if isinstance(hetN_match, float)
+                                     else hetN_match),
         "hs_suite_match_f32": hs_suite["f32"].get("matched"),
         "hs_suite_match_f64": hs_suite["f64"].get("matched"),
         "hs_suite_total": hs_suite["f32"].get("total",

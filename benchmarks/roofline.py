@@ -1,21 +1,32 @@
-"""Bandwidth accounting for the fused CPQR kernel.
+"""Roofline accounting for the solver's hot factorizations.
 
 BASELINE.json targets the batched-QR subproblem solve at >= 80% of
 roofline.  A pivoted Householder QR is bandwidth-bound: every step must
 stream the trailing matrix for (a) exact pivot norms, (b) v^T B,
 (c) the rank-1 update — 3 passes per step is the algorithmic minimum
-for norm-pivoted QR.  This script reports the fused kernels' ACHIEVED
-effective traffic rate (minimum-passes bytes / measured time).  For
-context: v5e HBM streams ~0.8 TB/s.  Measured on TPU v5e (floor-
-calibrated, see _measure):
+for norm-pivoted QR.  For context: v5e HBM streams ~0.8 TB/s.
+Measured on TPU v5e (floor-calibrated, see _measure):
 
-* large fused CPQR (1998x1000): 3.36 ms = 7.1 TB/s effective, 8.9x the
-  HBM stream class — only possible because the factorization is
-  VMEM-resident, and the per-step pass count is already at the
-  pivoted-QR minimum.
-* batched small CPQR (4096 lanes of 8x8, the HS-suite regime): 36.6 us
-  = 687 GB/s = 85.9% of the HBM-stream roofline (BASELINE north-star
-  target is >= 80%), 120x the vmapped XLA loop it replaced.
+* large fused CPQR (1998x1000): 3.36 ms = 7.1 TB/s effective on the
+  minimum-passes accounting, 8.9x the HBM stream class — only possible
+  because the factorization is VMEM-resident, and the per-step pass
+  count is already at the pivoted-QR minimum.
+* batched small CPQR (4096 lanes of 8x8, the HS-suite regime):
+  10.0 us, 482x the vmapped XLA loop it replaced (round-3 measurement;
+  round 2 recorded 36.6 us/120x with a less tight floor calibration).
+  THREE denominators are reported (round-3 honesty fix): the
+  algorithmic-traffic rate (a *class* comparison against the HBM
+  stream rate, not a claim that HBM was streamed — the kernel exceeds
+  it 3.2x by VMEM residency), the true-HBM bound (one batch read + one
+  write, ~2.6 us: 26% attained and NOT the bottleneck), and the
+  VPU-flop bound (~3.2 us at the v5e vector-unit class: 32% attained;
+  pivot argmax/select/permutation bookkeeping dominates the pure flop
+  count).  The operative end-to-end fact: at B=4096 the kernel is <1%
+  of a batched solver step — past the point of diminishing returns.
+* giant-m (5M x 100) GN iteration: measured marginal 74.6 ms/iter vs
+  the mandatory-streams + MXU-GEMM bound 40.5 ms = 1.84x (the config
+  BASELINE names; round 3 — the CholeskyQR tall path took it from
+  1.35 s/iter, ~33x over the same bound).
 
 Run on a TPU:  python benchmarks/roofline.py
 """
@@ -101,6 +112,83 @@ def measure_batched_qr(B=4096, rows=8, cols=8):
     return dt_pal, dt_xla, min_bytes
 
 
+MXU_F32_TFLOPS = 66.0   # v5e f32-via-bf16-passes matmul class
+VPU_F32_TFLOPS = 3.9    # v5e vector-unit f32 class (non-MXU elementwise)
+
+
+def measure_giant_m():
+    """Per-iteration cost model + measurement for the giant-m config
+    (BASELINE configs[4]: 5M x 100 dense J, active constraints).
+
+    Marginal iteration time is measured by differencing max_iter=1 and
+    max_iter=4 solves (same compiled executable family, steady state),
+    which cancels dispatch floor, init_carry, and the first new_point.
+
+    The bound counts mandatory HBM streams of the (m, n) f32 buffer
+    class (S = m*n*4 bytes each) at the v5e stream rate plus the two
+    mandatory m*n^2 GEMMs (J@Q1 panels, Gram) on the MXU:
+
+      res evals        r_i streams (W read; counter-derived, the
+                       reference evaluates r at every psi trial too)
+      jac eval         2 (W read + J write)
+      J@Q1 compact-WY  3 (J read + JQ1 write + (m,nb) intermediate)
+      Gram (cholqr)    1 (JQ1 read)        + 2mn^2 flops
+      qt_apply d       1 (JQ1 read)
+      Jp = J@p         1;  gf = J^T rx     1
+      J@Q1 flops       2mn^2 (one panel pass at t<=50)
+    """
+    import bench
+    from enlsip_tpu.core.driver import Functions, init_carry, run_chunk
+    from enlsip_tpu.core.types import Dims, Options
+
+    bench._gm_init()
+    m, n = bench._GM_M, bench._GM_N
+    dims = Dims(n=n, m=m, q=0, l=bench._GM_L)
+    tols = bench._tols(jnp.float32)
+    W, Y = bench._GM["W"], bench._GM["Y"]
+    x0 = jnp.zeros(n, jnp.float32)
+
+    def run_solver(max_iter):
+        opts = Options(second_derivatives=False, max_iter=max_iter)
+
+        @jax.jit
+        def gm_solve(W, Y, x0, tols):
+            def res(x):
+                z = W @ x
+                return Y - (z + 0.1 * jnp.tanh(z))
+
+            def jac(x):
+                z = W @ x
+                return -(1.0 + 0.1 * (1.0 - jnp.tanh(z) ** 2))[:, None] * W
+
+            fns = Functions(res=res, jac_res=jac, cons=bench._gm_cons,
+                            jac_cons=jax.jacfwd(bench._gm_cons))
+            c = init_carry(fns, x0, dims, opts, jnp.float32)
+            c = run_chunk(c, fns, dims, opts, tols, opts.max_iter + 1)
+            return c.x, c.nb_iter, c.counters
+
+        x, ni, cnt = gm_solve(W, Y, x0, tols)
+        np.asarray(x)  # warm/compile
+        t0 = time.perf_counter()
+        x, ni, cnt = gm_solve(W, Y, x0, tols)
+        np.asarray(x)
+        return time.perf_counter() - t0, int(ni), int(cnt.nb_res)
+
+    t1, i1, r1 = run_solver(1)
+    t4, i4, r4 = run_solver(4)
+    iters = i4 - i1
+    marginal = (t4 - t1) / iters
+    res_per_iter = (r4 - r1) / iters
+
+    S = m * n * 4                                  # one (m, n) stream
+    streams = res_per_iter + 2 + 3 + 1 + 1 + 1 + 1
+    bound_bytes = streams * S
+    bound_flops = 2 * (2 * m * n * n)              # J@Q1 + Gram
+    bound_s = bound_bytes / (HBM_STREAM_GBS * 1e9) \
+        + bound_flops / (MXU_F32_TFLOPS * 1e12)
+    return marginal, bound_s, streams, res_per_iter
+
+
 def main():
     dt, min_bytes = measure_qr()
     achieved = min_bytes / dt / 1e9
@@ -110,17 +198,38 @@ def main():
     print(f"vs HBM stream class:    {achieved / HBM_STREAM_GBS:6.1f}x "
           f"(VMEM residency gain)")
 
-    dt_pal, dt_xla, bytes_b = measure_batched_qr()
+    B, rows, cols = 4096, 8, 8
+    dt_pal, dt_xla, bytes_b = measure_batched_qr(B, rows, cols)
     ach_pal = bytes_b / dt_pal / 1e9
     ach_xla = bytes_b / dt_xla / 1e9
     print(f"batched small CPQR (4096 x 8x8), fused Pallas: "
           f"{dt_pal*1e6:8.1f} us | vmapped XLA loop: {dt_xla*1e6:8.1f} us "
           f"({dt_xla/dt_pal:.1f}x)")
-    print(f"achieved effective traffic (fused): {ach_pal:8.1f} GB/s "
-          f"= {100 * ach_pal / HBM_STREAM_GBS:5.1f}% of HBM stream; "
-          f"XLA loop: {ach_xla:.1f} GB/s "
-          f"= {100 * ach_xla / HBM_STREAM_GBS:5.1f}% "
-          f"(batched-QR roofline accounting)")
+    print(f"algorithmic-traffic rate (3 passes/step counted as streams): "
+          f"{ach_pal:8.1f} GB/s = {100 * ach_pal / HBM_STREAM_GBS:5.1f}% "
+          f"of the HBM stream class; XLA loop: {ach_xla:.1f} GB/s")
+    # Honest denominators (round-3): the kernel is VMEM-resident, so
+    # its TRUE HBM traffic is one read + one write of the (B, r, c)
+    # batch — that bound is nowhere near binding (the kernel is
+    # compute/VPU-bound) — and the VPU-flop bound counts the 3
+    # algorithmic passes at the v5e vector-unit rate.  Neither
+    # denominator puts the kernel near its own roofline in isolation;
+    # the operative fact is that it is 120x the XLA alternative and
+    # <1% of the batched solver step it serves (see docs/benchmarks.md).
+    hbm_true = 2 * B * rows * cols * 4
+    t_hbm = hbm_true / (HBM_STREAM_GBS * 1e9)
+    vpu_flops = 3 * 2 * min(rows, cols) * B * rows * cols
+    t_vpu = vpu_flops / (VPU_F32_TFLOPS * 1e12)
+    print(f"true-HBM bound {t_hbm*1e6:6.1f} us ({t_hbm/dt_pal*100:4.1f}% "
+          f"attained - not the bottleneck); VPU-flop bound "
+          f"{t_vpu*1e6:6.1f} us ({t_vpu/dt_pal*100:4.1f}% attained; "
+          f"pivot argmax/select overhead dominates the flop count)")
+
+    marginal, bound, streams, rpi = measure_giant_m()
+    print(f"giant-m (5Mx100): marginal {marginal*1e3:7.1f} ms/iter | "
+          f"stream+MXU bound {bound*1e3:6.1f} ms "
+          f"({streams:.0f} buffer streams, {rpi:.1f} res evals/iter) | "
+          f"measured/bound = {marginal/bound:.2f}x")
 
 
 if __name__ == "__main__":

@@ -108,7 +108,8 @@ def _cx_sq_sum(cx, dims: Dims, rdims):
 
 
 def _factor_and_gn(mask, A, cx, rx, J, gf, dims: Dims, scaling: bool,
-                   eps_rank, rdims=None, tsqr_axis=None):
+                   eps_rank, rdims=None, tsqr_axis=None,
+                   tall_qr: str = "cholqr"):
     """One full factorization round: gather/scale -> F_A -> (F_L11) -> GN.
 
     F_L11 is only consumed on the rank-deficient (stabilized) path, so
@@ -122,7 +123,7 @@ def _factor_and_gn(mask, A, cx, rx, J, gf, dims: Dims, scaling: bool,
                      lambda: factor_l11(F_A, act, t),
                      lambda: zeros_factor_l11(dims, F_A.R.dtype))
     gn = gn_search_direction(J, rx, act, F_A, F_L11, rankA, t, eps_rank, dims,
-                             rdims, tsqr_axis)
+                             rdims, tsqr_axis, tall_qr)
     return view, t, act, F_A, F_L11, gn
 
 
@@ -147,12 +148,13 @@ class WSRound1(NamedTuple):
 
 def _ws_round1(mask, A, cx, rx, J, gf, index_del_in, dims: Dims,
                scaling: bool, eps_rank, view, t, act, F_A, rankA,
-               F_L11, rdims=None, tsqr_axis=None) -> WSRound1:
+               F_L11, rdims=None, tsqr_axis=None,
+               tall_qr: str = "cholqr") -> WSRound1:
     """WRKSET round 1 given stage-1 factorization results: GN direction,
     both multiplier estimates, and the round-2 decision (:686-795)."""
     rd = rdims_or(rdims, dims)
     gn = gn_search_direction(J, rx, act, F_A, F_L11, rankA, t, eps_rank, dims,
-                             rdims, tsqr_axis)
+                             rdims, tsqr_axis, tall_qr)
     lam, grad_res = first_mult_estimate(F_A, act, t, dims, scaling, eps_rank)
     s = check_constraint_deletion(rd.q, lam, act.valid, t, scaling,
                                   act.diag_scale, grad_res)
@@ -175,14 +177,16 @@ def _ws_round1(mask, A, cx, rx, J, gf, index_del_in, dims: Dims,
 
 
 def _ws_round2(r1: WSRound1, mask, A, cx, rx, J, gf, dims: Dims,
-               scaling: bool, eps_rank, rdims=None, tsqr_axis=None):
+               scaling: bool, eps_rank, rdims=None, tsqr_axis=None,
+               tall_qr: str = "cholqr"):
     """WRKSET second-order deletion round (:745-764, :773-790): drop the
     suggested constraint and re-run the full factorization chain."""
     s2c = jnp.maximum(r1.s2, 0)
     gidx = r1.view.active_list[s2c]
     mask2 = set1(mask, gidx, False)
     view2, t2, act2, F_A2, F_L11_2, gn2 = _factor_and_gn(
-        mask2, A, cx, rx, J, gf, dims, scaling, eps_rank, rdims, tsqr_axis)
+        mask2, A, cx, rx, J, gf, dims, scaling, eps_rank, rdims, tsqr_axis,
+        tall_qr)
     # Compact lam2: new slot j maps to old slot j (+1 past s2).
     tmax = dims.tmax
     j = jnp.arange(tmax)
@@ -208,13 +212,13 @@ def _working_set_round(mask, A, cx, rx, J, gf, index_del_in, dims: Dims,
                      lambda: zeros_factor_l11(dims, F_A.R.dtype))
     r1 = _ws_round1(mask, A, cx, rx, J, gf, index_del_in, dims, scaling,
                     eps_rank, view, t, act, F_A, rankA, F_L11, rdims,
-                    opts.tsqr_axis)
+                    opts.tsqr_axis, opts.tall_qr)
 
     (mask_o, view_o, t_o, act_o, F_A_o, F_L11_o, gn_o, lam_o, deleted,
      index_del_o) = lax.cond(
         r1.do2,
         lambda _: _ws_round2(r1, mask, A, cx, rx, J, gf, dims, scaling,
-                             eps_rank, rdims, opts.tsqr_axis),
+                             eps_rank, rdims, opts.tsqr_axis, opts.tall_qr),
         lambda _: _ws_keep(r1, mask), None)
     return WorkingSetRound(mask=mask_o, view=view_o, t=t_o, act=act_o,
                            F_A=F_A_o, F_L11=F_L11_o, gn=gn_o, lam=lam_o,

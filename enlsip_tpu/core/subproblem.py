@@ -108,8 +108,10 @@ def j2_transform_d(F_J2: "FactorJ2", JQ1: jax.Array, p1n: jax.Array,
     """d = Q3^T (-J1 p1 - rx) (J1 p1 == JQ1 @ p1n since p1n is zero
     past the leading slots).  Dispatches on the factorization kind:
     direct CPQR or the two-stage TSQR (giant-m row-sharded path)."""
-    from ..ops.tsqr import TSQRF, qt_apply_tsqr
+    from ..ops.tsqr import CholQRF, TSQRF, qt_apply_cholqr, qt_apply_tsqr
     v = -(JQ1 @ p1n) - rx
+    if isinstance(F_J2.f, CholQRF):
+        return qt_apply_cholqr(F_J2.f, v)
     if isinstance(F_J2.f, TSQRF):
         return qt_apply_tsqr(F_J2.f, v)
     return qt_apply(F_J2.f, v)
@@ -273,7 +275,8 @@ def sub_search_direction(act: ActiveConstraint, rx: jax.Array, F_A: FactorA,
 def gn_search_direction(J: jax.Array, rx: jax.Array, act: ActiveConstraint,
                         F_A: FactorA, F_L11: FactorL11, rankA: jax.Array,
                         t: jax.Array, eps_rank: jax.Array, dims: Dims,
-                        rdims=None, tsqr_axis=None) -> GNResult:
+                        rdims=None, tsqr_axis=None,
+                        tall_qr: str = "cholqr") -> GNResult:
     """GNSRCH (enlsip_functions.jl:206-234)."""
     n = dims.n
     rd = rdims_or(rdims, dims)
@@ -282,17 +285,22 @@ def gn_search_direction(J: jax.Array, rx: jax.Array, act: ActiveConstraint,
     J2buf = jnp.where(cols[None, :] >= rankA, JQ1, 0.0)
     rows = J2buf.shape[0]
     # Only n - rankA columns are live; skip the no-op steps.
-    if tsqr_axis is not None:
-        from ..ops.tsqr import tsqr_cpqr
-        F_J2 = FactorJ2(f=tsqr_cpqr(J2buf, nsteps=n - rankA,
-                                    axis=tsqr_axis))
-    elif rows >= 32 * n and rows >= 4096:
-        # Tall-skinny (giant-m single chip): one blocked thin QR +
-        # pivoted QR of its (n, n) R beats the n-step pivot loop
-        # streaming the full (m, n) buffer each step (column norms and
-        # hence pivoting/rank decisions are identical).
-        from ..ops.tsqr import tsqr_cpqr
-        F_J2 = FactorJ2(f=tsqr_cpqr(J2buf, nsteps=n - rankA, axis=None))
+    if tsqr_axis is not None or (rows >= 32 * n and rows >= 4096):
+        # Tall panel (giant-m; single chip or row-sharded): a two-stage
+        # factorization replaces the n-step pivot loop that would
+        # stream the full (m, n) buffer each step.  Column norms (hence
+        # pivoting and rank decisions) are preserved by both stages.
+        if tall_qr == "cholqr":
+            # MXU-speed Gram + shifted Cholesky, implicit Q; sharded
+            # rows contract through ONE (n, n) psum (ops/tsqr.CholQRF).
+            from ..ops.tsqr import cholqr_cpqr
+            F_J2 = FactorJ2(f=cholqr_cpqr(J2buf, nsteps=n - rankA))
+        else:
+            # Householder first stage: local/whole thin QR + pivoted QR
+            # of the stacked R factors.
+            from ..ops.tsqr import tsqr_cpqr
+            F_J2 = FactorJ2(f=tsqr_cpqr(J2buf, nsteps=n - rankA,
+                                        axis=tsqr_axis))
     else:
         F_J2 = FactorJ2(f=cpqr_blocked(J2buf, nsteps=n - rankA))
     # Semantic diag length (pseudo_rank's sqrt(len) tolerance factor

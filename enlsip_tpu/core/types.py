@@ -96,10 +96,16 @@ class Options:
     gac_max_halvings: int = 60
     eucmod_max_passes: int = 16
     # Giant-m row-sharded factorization: when set (mesh axis name), the
-    # J2 factorization uses the two-stage TSQR reduction (ops/tsqr.py)
+    # J2 factorization uses a two-stage reduction (ops/tsqr.py)
     # instead of GSPMD-partitioning the pivot loop.  Requires an ambient
     # mesh (jax.set_mesh) whose named axis shards the residual rows.
     tsqr_axis: str | None = None
+    # Tall-panel (m >> n) J2 factorization method, both single-chip and
+    # row-sharded: "cholqr" (shifted CholeskyQR + pivoted QR of R1,
+    # implicit Q — MXU speed, one psum when sharded; ops/tsqr.CholQRF)
+    # or "qr" (Householder thin QR first stage; numerically safest for
+    # cond(J2) beyond ~1/sqrt(eps), ~30x slower on TPU at 5M rows).
+    tall_qr: str = "cholqr"
 
 
 def acc(v):

@@ -1,0 +1,115 @@
+"""Shifted-CholeskyQR tall-panel factorization (ops/tsqr.CholQRF) —
+the MXU-speed default (Options.tall_qr="cholqr") for giant-m J2 panels.
+
+Must reproduce the direct CPQR's pivoting, R magnitudes, rank logic,
+and every consumer-level quantity (triangular solves on d, prefix
+norms, norm preservation); the end-to-end tall solve must match the
+Householder-stage path (tall_qr="qr").
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from enlsip_tpu.core.driver import Functions, init_carry, run_chunk
+from enlsip_tpu.core.types import Dims, Options, Tols
+from enlsip_tpu.ops.blocked_qr import cpqr_blocked, qt_apply
+from enlsip_tpu.ops.qr import pseudo_rank
+from enlsip_tpu.ops.tsqr import cholqr_cpqr, qt_apply_cholqr
+
+
+def test_cholqr_matches_direct_cpqr():
+    rng = np.random.default_rng(5)
+    m, n = 8192, 12
+    M = jnp.asarray(rng.normal(size=(m, n)))
+    M = M.at[:, 10:].set(0.0)  # masked dead columns like a J2 buffer
+
+    direct = jax.jit(lambda M: cpqr_blocked(M))(M)
+    chol = jax.jit(lambda M: cholqr_cpqr(M, nsteps=n))(M)
+
+    np.testing.assert_array_equal(np.asarray(chol.perm),
+                                  np.asarray(direct.perm))
+    np.testing.assert_allclose(np.abs(np.asarray(chol.diag)),
+                               np.abs(np.asarray(direct.diag)), rtol=1e-9)
+    Rd, Rc = np.asarray(direct.R)[:n], np.asarray(chol.R)[:n]
+    sign = np.sign(np.diagonal(Rd)) * np.sign(np.diagonal(Rc))
+    sign = np.where(sign == 0, 1.0, sign)
+    np.testing.assert_allclose(sign[:, None] * Rc, Rd, atol=1e-8)
+
+    # Consumer-level d: triangular solves and cumulative profiles agree
+    # (raw coefficients may differ by the basis sign convention, which
+    # no consumer reads individually).
+    v = jnp.asarray(rng.normal(size=m))
+    dc = np.asarray(jax.jit(qt_apply_cholqr)(chol, v))
+    dd = np.asarray(jax.jit(qt_apply)(direct, v))
+    np.testing.assert_allclose(np.sum(dc * dc), float(jnp.dot(v, v)),
+                               rtol=1e-12)
+    for r in (4, 8, 10):
+        xc = np.linalg.solve(Rc[:r, :r], dc[:r])
+        xd = np.linalg.solve(Rd[:r, :r], dd[:r])
+        np.testing.assert_allclose(xc, xd, atol=1e-10)
+    np.testing.assert_allclose(np.cumsum(dc[:10] ** 2),
+                               np.cumsum(dd[:10] ** 2), rtol=1e-10)
+
+
+def test_cholqr_rank_deficiency_detected():
+    rng = np.random.default_rng(6)
+    m = 4096
+    M = np.asarray(rng.normal(size=(m, 6)))
+    M[:, 5] = 2.0 * M[:, 0] + M[:, 1]          # dependent live column
+    f = cholqr_cpqr(jnp.asarray(M), nsteps=6)
+    assert int(pseudo_rank(f.diag, jnp.int32(6), jnp.asarray(1e-8))) == 5
+    # all-dead buffer: finite zeros, rank 0
+    f0 = cholqr_cpqr(jnp.zeros((4096, 6)), nsteps=6)
+    assert np.isfinite(np.asarray(f0.R)).all()
+    assert int(pseudo_rank(f0.diag, jnp.int32(6), jnp.asarray(1e-8))) == 0
+
+
+def _tall_problem(m=40_000, n=24):
+    rng = np.random.default_rng(9)
+    W = jnp.asarray(rng.normal(size=(m, n)).astype(np.float64) / np.sqrt(n))
+    xt = rng.normal(size=n)
+    Y = jnp.asarray(np.asarray(W) @ xt + 0.01 * rng.normal(size=m))
+    blo = jnp.asarray(xt[:3] + 0.1)
+
+    def res(x):
+        z = W @ x
+        return Y - (z + 0.05 * jnp.tanh(z))
+
+    def jac(x):
+        z = W @ x
+        return -(1.0 + 0.05 * (1.0 - jnp.tanh(z) ** 2))[:, None] * W
+
+    def cons(x):
+        return jnp.concatenate([x[:3] - blo, x[3:6] + 10.0])
+
+    fns = Functions(res=res, jac_res=jac, cons=cons,
+                    jac_cons=jax.jacfwd(cons))
+    return fns, Dims(n=n, m=m, q=0, l=6)
+
+
+def test_tall_solve_cholqr_matches_householder_path():
+    """End-to-end giant-m-shaped solve: tall_qr='cholqr' and
+    tall_qr='qr' must agree on the trajectory shape (iterations, exit,
+    active set) and solution to factorization-noise tolerance."""
+    fns, dims = _tall_problem()
+    rel = float(np.sqrt(np.finfo(np.float64).eps))
+    tols = Tols(*(jnp.float64(v) for v in (1e-10, rel, rel, rel, rel)))
+    x0 = jnp.zeros(dims.n, jnp.float64)
+    outs = {}
+    for meth in ("cholqr", "qr"):
+        opts = Options(second_derivatives=False, max_iter=30, tall_qr=meth)
+
+        @jax.jit
+        def run(x0, tols, opts=opts):
+            c = init_carry(fns, x0, dims, opts, jnp.float64)
+            c = run_chunk(c, fns, dims, opts, tols, opts.max_iter + 1)
+            return c.x, c.nb_iter, c.exit_code, jnp.sum(c.active_mask)
+
+        outs[meth] = jax.tree.map(np.asarray, run(x0, tols))
+    xc, ic, ec, tc = outs["cholqr"]
+    xq, iq, eq, tq = outs["qr"]
+    assert int(ec) > 0 and int(eq) > 0, (ec, eq)
+    assert int(ic) == int(iq), (ic, iq)
+    assert int(tc) == int(tq), (tc, tq)
+    np.testing.assert_allclose(xc, xq, atol=1e-8)

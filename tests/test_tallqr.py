@@ -4,6 +4,8 @@ R magnitudes / pivoting / rank logic, and the end-to-end solve must
 match the pivot-loop path (the giant-m auto-dispatch in
 core/subproblem.gn_search_direction)."""
 
+import dataclasses
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -83,10 +85,13 @@ def test_tall_dispatch_solve_matches_loop_path():
             called["tall"] = True
         return orig_tsqr(Mb, nsteps, axis)
 
-    # auto-dispatch: rows >= 32n and >= 4096 -> tall path
+    # auto-dispatch: rows >= 32n and >= 4096 -> tall path (pinned via
+    # the Householder variant so the spy sits on the dispatch site; the
+    # default cholqr variant's dispatch is covered by test_cholqr.py)
     tsqr_mod.tsqr_cpqr = spy
     try:
-        tall = et.core_solve(fns, x0, dims, opts, tols)
+        tall = et.core_solve(fns, x0, dims,
+                             dataclasses.replace(opts, tall_qr="qr"), tols)
     finally:
         tsqr_mod.tsqr_cpqr = orig_tsqr
     assert called["tall"], "tall auto-dispatch did not trigger"
@@ -99,7 +104,8 @@ def test_tall_dispatch_solve_matches_loop_path():
     tsqr_mod.tsqr_cpqr = lambda Mb, nsteps, axis: cpqr_blocked(
         Mb, nsteps=nsteps)
     try:
-        loop = et.core_solve(fns, x0, dims, opts, tols)
+        loop = et.core_solve(fns, x0, dims,
+                             dataclasses.replace(opts, tall_qr="qr"), tols)
     finally:
         tsqr_mod.tsqr_cpqr = orig_tsqr
         jax.clear_caches()
