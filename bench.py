@@ -164,7 +164,17 @@ def bench_ode_fit_batched(B=10_000, dtype=jnp.float32):
     res = solve_batched(fns, starts, dims, opts, tols, dtype=dtype, data=ys)
     f = np.asarray(res.f)  # sync
     dt = time.perf_counter() - t0
-    return B / dt, float(np.mean(f < 1e-3))
+    # Miss breakdown by exit code (VERDICT r2 item 7): the non-optimum
+    # lanes are (a) -6 at iteration ~1 — genuinely non-descent first GN
+    # direction from that start at f32 evaluation noise, (b) -4 — the
+    # lane requests a Newton step under this GN-only throughput config,
+    # (c) positive codes — legitimate alternate local minima of the
+    # 5-exponential fit.
+    ec = np.asarray(res.exit_code)
+    miss = f >= 1e-3
+    codes, counts = np.unique(ec[miss], return_counts=True)
+    breakdown = {int(c): int(k) for c, k in zip(codes, counts)}
+    return B / dt, float(np.mean(~miss)), breakdown
 
 
 def bench_hetero_suite(per_family=512, dtype=jnp.float32, names=None,
@@ -354,9 +364,9 @@ def main():
     except Exception as e:  # pragma: no cover - keep the headline alive
         gm_rate, gm_iters, gm_exit, gm_t = None, None, str(e)[:80], None
     try:
-        ode_rate, ode_opt = bench_ode_fit_batched()
+        ode_rate, ode_opt, ode_breakdown = bench_ode_fit_batched()
     except Exception as e:  # pragma: no cover
-        ode_rate, ode_opt = None, str(e)[:80]
+        ode_rate, ode_opt, ode_breakdown = None, str(e)[:80], None
     try:
         het_rate, het_match = bench_hetero_suite()
     except Exception as e:  # pragma: no cover
@@ -404,6 +414,9 @@ def main():
         "ode_fit_10k_optimum_rate": (round(ode_opt, 4)
                                      if isinstance(ode_opt, float)
                                      else ode_opt),
+        "ode_fit_10k_miss_exit_codes": (
+            {str(k): v for k, v in ode_breakdown.items()}
+            if isinstance(ode_breakdown, dict) else ode_breakdown),
         "hetero_suite_solves_per_sec": (round(het_rate, 1)
                                         if het_rate else het_rate),
         "hetero_suite_match_rate": (round(het_match, 4)

@@ -133,11 +133,19 @@ def cpqr_batched_packed(M: jax.Array, *, interpret: bool = False):
     """
     B, rows, cols = M.shape
     kmax = min(rows, cols)
+    # Pad the batch to a whole number of kernel lane-blocks.  The grid
+    # below is bp // lb, so bp MUST be a multiple of lb: padding only to
+    # the 128-lane width left a partial trailing block UNPROCESSED for
+    # B > LANE_BLOCK and B % LANE_BLOCK != 0 (e.g. B = 10000: lanes
+    # 9728..9999 returned uninitialized garbage — caught round 3 as
+    # NaN solves in the ODE-fit bench, tests/test_pallas_batched_qr.py
+    # ::test_batched_cpqr_partial_block).
     bp = -(-max(B, 1) // 128) * 128
+    lb = min(LANE_BLOCK, bp)
+    bp = -(-bp // lb) * lb
     if bp != B:
         M = jnp.pad(M, ((0, bp - B), (0, 0), (0, 0)))
     At = jnp.transpose(M, (2, 1, 0))                            # (cols, rows, bp)
-    lb = min(LANE_BLOCK, bp)
     packed_t, tp_t = pl.pallas_call(
         lambda a, r, tp: _kernel(a, r, tp, kmax=kmax),
         grid=(bp // lb,),

@@ -80,3 +80,23 @@ def test_gate_rejects_cpu_and_big_shapes(monkeypatch):
     assert not bq._use_batched_pallas(2048, 2, jnp.float32)  # elems
     monkeypatch.setenv("ENLSIP_DISABLE_PALLAS", "1")
     assert not bq._use_batched_pallas(8, 8, jnp.float32)
+
+
+@pytest.mark.parametrize("B", [513, 650, 1100])
+def test_batched_cpqr_partial_block(B):
+    """B > LANE_BLOCK with B % LANE_BLOCK != 0: the trailing partial
+    block must be processed (regression: the grid was bp // lb with bp
+    only 128-aligned, so lanes past the last full 512-block returned
+    uninitialized garbage — observed as NaN solves at B = 10000 in the
+    ODE-fit bench, round 3)."""
+    rng = np.random.default_rng(B)
+    rows, cols = 6, 5
+    M = jnp.asarray(rng.normal(size=(B, rows, cols)), jnp.float32)
+    f1 = pbq.cpqr_blocked_batched(M, interpret=True)
+    f2 = jax.vmap(lambda m: cpqr_blocked(m))(M)
+    assert np.isfinite(np.asarray(f1.R)).all()
+    # the tail lanes specifically
+    _assert_cpqrf_close(
+        jax.tree.map(lambda a: a[-64:], f1),
+        jax.tree.map(lambda a: a[-64:], f2), atol=5e-5)
+    _assert_cpqrf_close(f1, f2, atol=5e-5)
