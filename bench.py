@@ -304,8 +304,21 @@ def bench_giant_m(dtype=jnp.float32, max_iter=8):
             z = W @ x
             return -(1.0 + 0.1 * (1.0 - jnp.tanh(z) ** 2))[:, None] * W
 
+        def res_trial(x, p):
+            # r(x) = phi(W@x): every line-search trial rides the ray
+            # W@x + a*(W@p) — O(m) per trial instead of an O(m*n)
+            # stream of W (Functions.res_trial contract).
+            zx = W @ x
+            zp = W @ p
+
+            def at(a):
+                u = zx + a.astype(zx.dtype) * zp
+                return Y - (u + 0.1 * jnp.tanh(u))
+
+            return at
+
         fns = Functions(res=res, jac_res=jac, cons=_gm_cons,
-                        jac_cons=jax.jacfwd(_gm_cons))
+                        jac_cons=jax.jacfwd(_gm_cons), res_trial=res_trial)
         c = init_carry(fns, x0, dims, opts, dtype)
         c = run_chunk(c, fns, dims, opts, tols, opts.max_iter + 1)
         return c.x, c.nb_iter, c.exit_code, jnp.sum(c.active_mask)

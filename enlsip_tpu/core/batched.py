@@ -48,7 +48,9 @@ def bind_data(fns: Functions, d) -> Functions:
     return Functions(res=lambda x: fns.res(x, d),
                      jac_res=lambda x: fns.jac_res(x, d),
                      cons=lambda x: fns.cons(x, d),
-                     jac_cons=lambda x: fns.jac_cons(x, d))
+                     jac_cons=lambda x: fns.jac_cons(x, d),
+                     res_trial=(None if fns.res_trial is None else
+                                (lambda x, p: fns.res_trial(x, p, d))))
 
 
 def tree_where(pred, t, f):

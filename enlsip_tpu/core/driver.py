@@ -53,12 +53,24 @@ from .working_set import (check_constraint_deletion,
 
 
 class Functions(NamedTuple):
-    """Traced user callables (jacobians resolved by the models layer)."""
+    """Traced user callables (jacobians resolved by the models layer).
+
+    ``res_trial`` (optional): a directional-evaluation factory
+    ``res_trial(x, p) -> (alpha -> r(x + alpha*p))`` for problems whose
+    residual has cheap structure along a ray — e.g. r(x) = phi(W@x)
+    with a giant (m, n) W: the factory computes zx = W@x and zp = W@p
+    ONCE per steplength computation and every line-search trial costs
+    O(m) instead of an O(m*n) matrix stream.  The default (None) is the
+    black-box form ``lambda a: res(x + a*p)``, bit-identical to
+    evaluating res at the trial point.  Trial evaluations bump the
+    residual counter exactly like the reference's psi (the counter
+    counts semantic evaluations of r)."""
 
     res: Callable
     jac_res: Callable
     cons: Callable
     jac_cons: Callable
+    res_trial: Callable | None = None
 
 
 def new_point(fns: Functions, x, counters: Counters):
@@ -300,8 +312,13 @@ def _post_direction(carry: Carry, fns: Functions, dims: Dims, opts: Options,
     nb_newton = carry.nb_newton_steps + jnp.where(ana.newton_taken, 1, 0)
 
     # --- STPLNG ----------------------------------------------------------
+    if fns.res_trial is not None:
+        res_trial = fns.res_trial
+    else:  # black-box default: bit-identical to res at the trial point
+        res_trial = lambda xx, pp: (
+            lambda a: fns.res(xx + a.astype(xx.dtype) * pp))
     sl = compute_steplength(
-        fns.res, fns.cons, x, rx, J, cx, A, wsr.act, wsr.view, t, ana.p,
+        res_trial, fns.cons, x, rx, J, cx, A, wsr.act, wsr.view, t, ana.p,
         ana.dimA, wsr.gn.rankJ2, ana.code, wsr.index_del, carry.prev,
         carry.K, wsr.mask, dims, opts.weight_code, counters,
         opts.linesearch_max_refine, opts.gac_max_halvings,

@@ -42,10 +42,14 @@ from .types import acc as _acc
 
 # ----------------------------------------------------------------- psi
 
-def psi(x, alpha, p, w, mask, res_fn, cons_fn, counters: Counters):
-    """Merit function at x + alpha*p (:1307-1340)."""
+def psi(x, alpha, p, w, mask, res_at, cons_fn, counters: Counters):
+    """Merit function at x + alpha*p (:1307-1340).
+
+    ``res_at(alpha)`` evaluates r(x + alpha*p) — the black-box default
+    closure is built in driver._post_direction; structured problems may
+    supply a cheap directional form (Functions.res_trial)."""
     x_new = x + alpha.astype(x.dtype) * p
-    rxn = _acc(res_fn(x_new))
+    rxn = _acc(res_at(alpha))
     cxn = _acc(cons_fn(x_new))
     w = _acc(w)
     counters = counters._replace(nb_res=counters.nb_res + 1,
@@ -221,14 +225,14 @@ def check_reduction(psi_alpha, psi_k, approx_k, eta, diff_psi):
 
 
 def goldstein_armijo_step(psi0, dpsi0, alpha_min, tau, p_max, x, alpha0, p,
-                          w, mask, res_fn, cons_fn, counters: Counters,
+                          w, mask, res_at, cons_fn, counters: Counters,
                           max_halvings: int, need=None):
     """GAC (:1893-1923): halve until psi(u) <= psi0 + tau u dpsi0."""
     need = jnp.asarray(True) if need is None else need
     sqr_eps = jnp.sqrt(jnp.finfo(x.dtype).eps)
     u0 = _acc(alpha0)
     exit0 = (p_max * u0 < sqr_eps) | (u0 <= alpha_min)
-    psi_u0, counters = psi(x, u0, p, w, mask, res_fn, cons_fn, counters)
+    psi_u0, counters = psi(x, u0, p, w, mask, res_at, cons_fn, counters)
 
     def cond(st):
         u, psiu, ext, cnt, it = st
@@ -238,7 +242,7 @@ def goldstein_armijo_step(psi0, dpsi0, alpha_min, tau, p_max, x, alpha0, p,
     def body(st):
         u, psiu, ext, cnt, it = st
         u = u * 0.5
-        psiu, cnt = psi(x, u, p, w, mask, res_fn, cons_fn, cnt)
+        psiu, cnt = psi(x, u, p, w, mask, res_at, cons_fn, cnt)
         ext = (p_max * u < sqr_eps) | (u <= alpha_min)
         return u, psiu, ext, cnt, it + 1
 
@@ -256,7 +260,7 @@ class LinesearchResult(NamedTuple):
 
 
 def linesearch_constrained(x, alpha0, p, rx, cx, JpAp, w, mask, psi0, dpsi0,
-                           alpha_low, alpha_upp, res_fn, cons_fn,
+                           alpha_low, alpha_upp, res_at, cons_fn,
                            counters: Counters, dims: Dims,
                            max_refine: int, gac_max: int,
                            need=None) -> LinesearchResult:
@@ -275,11 +279,11 @@ def linesearch_constrained(x, alpha0, p, rx, cx, JpAp, w, mask, psi0, dpsi0,
     p_max = _acc(jnp.max(jnp.abs(p)))
 
     v1 = linesearch_v1(JpAp, cx, w, mask, dims)
-    psi_k, counters = psi(x, alpha_k, p, w, mask, res_fn, cons_fn, counters)
+    psi_k, counters = psi(x, alpha_k, p, w, mask, res_at, cons_fn, counters)
     diff_psi0 = psi0 - psi_k
 
     x_new = x + alpha_k.astype(x.dtype) * p
-    rx_new = res_fn(x_new)
+    rx_new = res_at(alpha_k)
     cx_new = cons_fn(x_new)
     counters = counters._replace(nb_res=counters.nb_res + 1,
                                  nb_cons=counters.nb_cons + 1)
@@ -298,7 +302,7 @@ def linesearch_constrained(x, alpha0, p, rx, cx, JpAp, w, mask, psi0, dpsi0,
     alpha_km2, psi_km2 = jnp.zeros_like(alpha_k), psi0
     alpha_km1, psi_km1 = alpha_k, psi_k
     alpha_k = a_kp1
-    psi_k, counters = psi(x, alpha_k, p, w, mask, res_fn, cons_fn, counters)
+    psi_k, counters = psi(x, alpha_k, p, w, mask, res_at, cons_fn, counters)
 
     def refine_loop(carry, fixed_diff, branch_need):
         """The reduction-likely 3-point refinement loop (:2048-2064 and
@@ -317,7 +321,7 @@ def linesearch_constrained(x, alpha0, p, rx, cx, JpAp, w, mask, psi0, dpsi0,
             ak2, pk2 = ak1, pk1
             ak1, pk1 = ak, pkk
             ak = a_new
-            pkk, cnt = psi(x, ak, p, w, mask, res_fn, cons_fn, cnt)
+            pkk, cnt = psi(x, ak, p, w, mask, res_at, cons_fn, cnt)
             dpsi2 = jnp.where(fixed_diff, dpsi, psi0 - pkk)
             likely = check_reduction(pk1, pkk, approx2, eta, dpsi2)
             return ak2, pk2, ak1, pk1, ak, pkk, approx2, dpsi2, cnt, it + 1, likely
@@ -346,7 +350,7 @@ def linesearch_constrained(x, alpha0, p, rx, cx, JpAp, w, mask, psi0, dpsi0,
             # alpha0 not useful: redo the quartic model at alpha_k
             def redo(cnt):
                 xk = x + alpha_k.astype(x.dtype) * p
-                rxn = res_fn(xk)
+                rxn = res_at(alpha_k)
                 cxn = cons_fn(xk)
                 cnt = cnt._replace(nb_res=cnt.nb_res + 1,
                                    nb_cons=cnt.nb_cons + 1)
@@ -372,7 +376,7 @@ def linesearch_constrained(x, alpha0, p, rx, cx, JpAp, w, mask, psi0, dpsi0,
             ak2, pk2 = akm1b, pkm1b
             ak1, pk1 = alpha_k, psi_k
             ak = a_kp1b
-            pkk, cnt = psi(x, ak, p, w, mask, res_fn, cons_fn, cnt)
+            pkk, cnt = psi(x, ak, p, w, mask, res_at, cons_fn, cnt)
             likely0 = check_reduction(pk1, pkk, pkb, eta, diff_psi)
             st = (ak2, pk2, ak1, pk1, ak, pkk, pkb, diff_psi, cnt,
                   jnp.int32(0), likely0)
@@ -385,7 +389,7 @@ def linesearch_constrained(x, alpha0, p, rx, cx, JpAp, w, mask, psi0, dpsi0,
         def gac(counters):
             u, err, cnt = goldstein_armijo_step(
                 psi0, dpsi0, alpha_min, tau, p_max, x, alpha_k, p, w, mask,
-                res_fn, cons_fn, counters, gac_max,
+                res_at, cons_fn, counters, gac_max,
                 need & ~term_a0 & ~term_a1)
             return u, err, cnt
 
@@ -431,10 +435,10 @@ def upper_bound_steplength(A, cx, p, x, mask, index_del, dims: Dims):
 # ------------------------------------------------------------- STPLNG
 
 def check_derivatives(dpsi0, psi0, psi_k, x_old, alpha, p, w, mask,
-                      res_fn, cons_fn, counters: Counters):
+                      res_at, cons_fn, counters: Counters):
     """(:2295-2322): finite-difference consistency test of dpsi0 after a
     Goldstein-Armijo failure.  Returns (-1 on inconsistency, counters)."""
-    psi_m, counters = psi(x_old, -alpha, p, w, mask, res_fn, cons_fn, counters)
+    psi_m, counters = psi(x_old, -alpha, p, w, mask, res_at, cons_fn, counters)
     fwd = (psi_k - psi0) / alpha
     bwd = (psi0 - psi_m) / alpha
     ctr = (psi_k - psi_m) / (2 * alpha)
@@ -457,7 +461,7 @@ class SteplengthResult(NamedTuple):
     counters: Counters
 
 
-def compute_steplength(res_fn, cons_fn, x, rx, J, cx, A,
+def compute_steplength(res_trial, cons_fn, x, rx, J, cx, A,
                        act, view, t, p, dimA, rankJ2, code, index_del,
                        prev: PrevIter, K, mask, dims: Dims, weight_code: int,
                        counters: Counters, max_refine: int, gac_max: int,
@@ -465,11 +469,17 @@ def compute_steplength(res_fn, cons_fn, x, rx, J, cx, A,
                        alive=None) -> SteplengthResult:
     """STPLNG (:2197-2293).
 
+    ``res_trial(x, p) -> (alpha -> r(x + alpha*p))``: the directional
+    residual factory (driver builds the bit-identical black-box default
+    when Functions.res_trial is None); built ONCE here so structured
+    problems pay their ray setup (e.g. W@x, W@p) once per steplength.
+
     ``alive``: this lane is still iterating (exit_code == 0).  Only
     gates inner-loop trip counts under vmap; single-lane semantics and
     alive-lane values are unchanged."""
     from .weights import penalty_weight_update
 
+    res_at = res_trial(x, p)
     alive = jnp.asarray(True) if alive is None else alive
     dtype = x.dtype
     tmax = dims.tmax
@@ -512,14 +522,14 @@ def compute_steplength(res_fn, cons_fn, x, rx, J, cx, A,
         alpha0 = jnp.minimum(jnp.minimum(1.0, magfy * prev.alpha), alpha_upp)
         res = linesearch_constrained(
             x, alpha0, p, rx, cx, JpAp, w, mask, psi0, dpsi0, alpha_low,
-            alpha_upp, res_fn, cons_fn, cnt, dims, max_refine, gac_max,
+            alpha_upp, res_at, cons_fn, cnt, dims, max_refine, gac_max,
             need=alive & (code != 2) & is_descent)
         alpha, cnt = res.alpha, res.counters
 
         def deriv_check(cnt):
-            psi_k, cnt = psi(x, alpha, p, w, mask, res_fn, cons_fn, cnt)
+            psi_k, cnt = psi(x, alpha, p, w, mask, res_at, cons_fn, cnt)
             return check_derivatives(dpsi0, psi0, psi_k, x, alpha, p, w,
-                                     mask, res_fn, cons_fn, cnt)
+                                     mask, res_at, cons_fn, cnt)
 
         psi_err, cnt = lax.cond(res.gac_error, deriv_check,
                                 lambda c: (jnp.int32(0), c), cnt)
@@ -532,7 +542,7 @@ def compute_steplength(res_fn, cons_fn, x, rx, J, cx, A,
                            - uppbound * jnp.dot(Jp_a, Jp_a)
                            + (2.0 - uppbound ** 2) * atwa)
         x_new = x + alpha.astype(dtype) * p
-        rx_new = _acc(res_fn(x_new))
+        rx_new = _acc(res_at(alpha))
         cx_new = _acc(cons_fn(x_new))
         cnt = cnt._replace(nb_res=cnt.nb_res + 1, nb_cons=cnt.nb_cons + 1)
         cxna = cx_new[active_global]

@@ -65,7 +65,7 @@ def test_cholqr_rank_deficiency_detected():
     assert int(pseudo_rank(f0.diag, jnp.int32(6), jnp.asarray(1e-8))) == 0
 
 
-def _tall_problem(m=40_000, n=24):
+def _tall_problem(m=40_000, n=24, with_trial=False):
     rng = np.random.default_rng(9)
     W = jnp.asarray(rng.normal(size=(m, n)).astype(np.float64) / np.sqrt(n))
     xt = rng.normal(size=n)
@@ -83,8 +83,18 @@ def _tall_problem(m=40_000, n=24):
     def cons(x):
         return jnp.concatenate([x[:3] - blo, x[3:6] + 10.0])
 
+    def res_trial(x, p):
+        zx, zp = W @ x, W @ p
+
+        def at(a):
+            u = zx + a.astype(zx.dtype) * zp
+            return Y - (u + 0.05 * jnp.tanh(u))
+
+        return at
+
     fns = Functions(res=res, jac_res=jac, cons=cons,
-                    jac_cons=jax.jacfwd(cons))
+                    jac_cons=jax.jacfwd(cons),
+                    res_trial=res_trial if with_trial else None)
     return fns, Dims(n=n, m=m, q=0, l=6)
 
 
@@ -113,3 +123,35 @@ def test_tall_solve_cholqr_matches_householder_path():
     assert int(ic) == int(iq), (ic, iq)
     assert int(tc) == int(tq), (tc, tq)
     np.testing.assert_allclose(xc, xq, atol=1e-8)
+
+
+def test_res_trial_directional_hook_matches_blackbox():
+    """Functions.res_trial (the directional line-search evaluation for
+    structured residuals, here r = phi(W@x)): same trajectory shape and
+    solution as the black-box default, same residual-counter contract
+    (one bump per psi trial)."""
+    rel = float(np.sqrt(np.finfo(np.float64).eps))
+    tols = Tols(*(jnp.float64(v) for v in (1e-10, rel, rel, rel, rel)))
+    opts = Options(second_derivatives=False, max_iter=30)
+    outs = {}
+    for with_trial in (False, True):
+        fns, dims = _tall_problem(with_trial=with_trial)
+        x0 = jnp.zeros(dims.n, jnp.float64)
+
+        @jax.jit
+        def run(x0, tols, fns=fns, dims=dims):
+            c = init_carry(fns, x0, dims, opts, jnp.float64)
+            c = run_chunk(c, fns, dims, opts, tols, opts.max_iter + 1)
+            return c.x, c.nb_iter, c.exit_code, c.counters.nb_res
+
+        outs[with_trial] = jax.tree.map(np.asarray, run(x0, tols))
+    xb, ib, eb, rb = outs[False]
+    xt, it, et, rt = outs[True]
+    assert int(eb) > 0 and int(et) > 0, (eb, et)
+    assert int(ib) == int(it), (ib, it)
+    # Same counting CONTRACT (one bump per psi trial); the directional
+    # form reassociates W@(x+a*p) as W@x + a*(W@p), whose last-bit
+    # difference can flip a knife-edge trial, so counts may differ by a
+    # couple of trials — not by a systematic factor.
+    assert abs(int(rb) - int(rt)) <= 4, (rb, rt)
+    np.testing.assert_allclose(xt, xb, atol=1e-8)
