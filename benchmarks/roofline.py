@@ -23,10 +23,13 @@ Measured on TPU v5e (floor-calibrated, see _measure):
   pivot argmax/select/permutation bookkeeping dominates the pure flop
   count).  The operative end-to-end fact: at B=4096 the kernel is <1%
   of a batched solver step — past the point of diminishing returns.
-* giant-m (5M x 100) GN iteration: measured marginal 74.6 ms/iter vs
-  the mandatory-streams + MXU-GEMM bound 40.5 ms = 1.84x (the config
+* giant-m (5M x 100) GN iteration: measured marginal 75.3 ms/iter vs
+  the mandatory-streams + MXU-GEMM bound 33.5 ms = 2.25x (the config
   BASELINE names; round 3 — the CholeskyQR tall path took it from
-  1.35 s/iter, ~33x over the same bound).
+  1.35 s/iter, ~33x over the same bound; the directional-trial hook
+  moved the psi trials off the W stream without moving the measured
+  marginal, so the residual gap is XLA loop-body scheduling, not an
+  algorithmic stream).
 
 Run on a TPU:  python benchmarks/roofline.py
 """
@@ -126,10 +129,15 @@ def measure_giant_m():
 
     The bound counts mandatory HBM streams of the (m, n) f32 buffer
     class (S = m*n*4 bytes each) at the v5e stream rate plus the two
-    mandatory m*n^2 GEMMs (J@Q1 panels, Gram) on the MXU:
+    mandatory m*n^2 GEMMs (J@Q1 panels, Gram) on the MXU.  With the
+    directional-trial hook (Functions.res_trial, r = phi(W@x)) the
+    line-search trials ride cached (m,) rays, so the residual class
+    costs 3 W streams per iteration (new_point eval + the zx/zp ray
+    setup) regardless of the trial count; the trials themselves are
+    O(m) vector passes, accounted at vector size:
 
-      res evals        r_i streams (W read; counter-derived, the
-                       reference evaluates r at every psi trial too)
+      res class        3 streams (new_point; zx = W@x; zp = W@p)
+      psi trials       r_i * 3 m-vector passes (counter-derived; cheap)
       jac eval         2 (W read + J write)
       J@Q1 compact-WY  3 (J read + JQ1 write + (m,nb) intermediate)
       Gram (cholqr)    1 (JQ1 read)        + 2mn^2 flops
@@ -161,8 +169,18 @@ def measure_giant_m():
                 z = W @ x
                 return -(1.0 + 0.1 * (1.0 - jnp.tanh(z) ** 2))[:, None] * W
 
+            def res_trial(x, p):
+                zx, zp = W @ x, W @ p
+
+                def at(a):
+                    u = zx + a.astype(zx.dtype) * zp
+                    return Y - (u + 0.1 * jnp.tanh(u))
+
+                return at
+
             fns = Functions(res=res, jac_res=jac, cons=bench._gm_cons,
-                            jac_cons=jax.jacfwd(bench._gm_cons))
+                            jac_cons=jax.jacfwd(bench._gm_cons),
+                            res_trial=res_trial)
             c = init_carry(fns, x0, dims, opts, jnp.float32)
             c = run_chunk(c, fns, dims, opts, tols, opts.max_iter + 1)
             return c.x, c.nb_iter, c.counters
@@ -181,8 +199,8 @@ def measure_giant_m():
     res_per_iter = (r4 - r1) / iters
 
     S = m * n * 4                                  # one (m, n) stream
-    streams = res_per_iter + 2 + 3 + 1 + 1 + 1 + 1
-    bound_bytes = streams * S
+    streams = 3 + 2 + 3 + 1 + 1 + 1 + 1           # see docstring
+    bound_bytes = streams * S + res_per_iter * 3 * m * 4
     bound_flops = 2 * (2 * m * n * n)              # J@Q1 + Gram
     bound_s = bound_bytes / (HBM_STREAM_GBS * 1e9) \
         + bound_flops / (MXU_F32_TFLOPS * 1e12)
