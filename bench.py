@@ -174,7 +174,8 @@ def bench_ode_fit_batched(B=10_000, dtype=jnp.float32):
     miss = f >= 1e-3
     codes, counts = np.unique(ec[miss], return_counts=True)
     breakdown = {int(c): int(k) for c, k in zip(codes, counts)}
-    return B / dt, float(np.mean(~miss)), breakdown
+    strict = float(np.mean(~miss & (ec > 0)))
+    return B / dt, float(np.mean(~miss)), strict, breakdown
 
 
 def bench_hetero_suite(per_family=512, dtype=jnp.float32, names=None,
@@ -377,9 +378,10 @@ def main():
     except Exception as e:  # pragma: no cover - keep the headline alive
         gm_rate, gm_iters, gm_exit, gm_t = None, None, str(e)[:80], None
     try:
-        ode_rate, ode_opt, ode_breakdown = bench_ode_fit_batched()
+        ode_rate, ode_opt, ode_strict, ode_breakdown = bench_ode_fit_batched()
     except Exception as e:  # pragma: no cover
-        ode_rate, ode_opt, ode_breakdown = None, str(e)[:80], None
+        ode_rate, ode_opt, ode_strict, ode_breakdown = (None, str(e)[:80],
+                                                        None, None)
     try:
         het_rate, het_match = bench_hetero_suite()
     except Exception as e:  # pragma: no cover
@@ -427,6 +429,9 @@ def main():
         "ode_fit_10k_optimum_rate": (round(ode_opt, 4)
                                      if isinstance(ode_opt, float)
                                      else ode_opt),
+        "ode_fit_10k_match_and_converged_rate": (
+            round(ode_strict, 4) if isinstance(ode_strict, float)
+            else ode_strict),
         "ode_fit_10k_miss_exit_codes": (
             {str(k): v for k, v in ode_breakdown.items()}
             if isinstance(ode_breakdown, dict) else ode_breakdown),
