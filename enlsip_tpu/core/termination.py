@@ -51,26 +51,6 @@ def check_termination(p, code, restart, deleted, d_gn, dimJ2, grad_res,
     conv = conv + jnp.where(rx_sum <= tols.eps_abs ** 2, 2000, 0)
     conv = conv + jnp.where(x_diff < tols.eps_x * xnrm, 300, 0)
     conv = conv + jnp.where(alfnoi > 0.25, 40, 0)
-    if jnp.finfo(dtype).eps > jnp.finfo(jnp.float64).eps:
-        # D12 (f32 robustness): at a stationary point dpsi0 is pure
-        # rounding noise and the -6 non-descent abort races the
-        # sufficient convergence codes; batched-kernel vs single-path
-        # f32 rounding can flip the winner (observed: ~10% of ODE-fit
-        # lanes exiting -6 AT the optimum while the identical lane
-        # solved alone exits +10300).  When the line search reports
-        # non-descent at an iterate that already satisfies every
-        # NECESSARY first-order condition (feasible active set, small
-        # projected gradient, multiplier signs), the ascent signal is
-        # noise-limited steplength evidence — the same class as the
-        # reference's alfnoi > 0.25 (+40).  The same applies to a
-        # noise-driven Newton request when second derivatives are
-        # disallowed (error_code -4): GNDCHK asks for Newton because GN
-        # progress has stalled — at a stationary point that stall IS
-        # convergence.  Genuine ascent / genuine Newton-need far from
-        # stationarity still exit -6/-4 (necessary fails there).  f64
-        # is untouched (dtype-static branch).
-        noise_stall = (psi_error == -1) | (error_code == -4)
-        conv = conv + jnp.where((conv == 0) & noise_stall, 40, 0)
     # Infeasibility negation (:2471-2481) — dead under the necessary
     # conditions above, kept for exactness.
     any_viol = jnp.any(jnp.where(inact, cx <= 0.0, False))
@@ -104,9 +84,33 @@ def check_termination(p, code, restart, deleted, d_gn, dimJ2, grad_res,
     # a device loop cannot read the wall clock, and a -11 iteration is
     # never display-recorded in the reference either, so the observable
     # state is identical.
+    code_m6 = jnp.int32(-6)
+    code_m4 = error_code
+    if jnp.finfo(dtype).eps > jnp.finfo(jnp.float64).eps:
+        # D12 (f32 robustness): at a stationary point dpsi0 is pure
+        # rounding noise and GN "stall" (which GNDCHK escalates to a
+        # Newton request) IS convergence; the -6 non-descent abort and
+        # the -4 Newton-disallowed abort race the sufficient
+        # convergence codes, and batched-kernel vs single-path f32
+        # rounding can flip the winner (observed: ~10% of ODE-fit lanes
+        # exiting -6/-4 AT the optimum while the identical lane solved
+        # alone exits +10300).  When the iterate already satisfies
+        # every NECESSARY first-order condition (feasible active and
+        # inactive sets, small projected gradient, multiplier signs, no
+        # deletion — the `necessary` predicate above, which does not
+        # depend on `preliminary`: the -4 path sets restart and would
+        # otherwise mask it), the abort is noise-limited-steplength
+        # evidence — the reference's own +40 class (alfnoi > 0.25,
+        # :2452).  Genuine ascent / genuine Newton need far from
+        # stationarity still exit -6/-4 (necessary fails there); -3/-5
+        # (Cholesky failure / evaluation errors) are never converted.
+        # f64 is untouched (dtype-static branch).
+        code_m6 = jnp.where(necessary, jnp.int32(40), code_m6)
+        code_m4 = jnp.where((error_code == -4) & necessary,
+                            jnp.int32(40), error_code)
     abn = jnp.where(nb_iter >= max_iter, -2,
-          jnp.where((error_code >= -5) & (error_code <= -3), error_code,
+          jnp.where((error_code >= -5) & (error_code <= -3), code_m4,
           jnp.where(nb_newton_steps > 5, -9,
-          jnp.where(psi_error == -1, -6,
+          jnp.where(psi_error == -1, code_m6,
           jnp.where(stuck, -10, 0)))))
     return jnp.where(exit_code == 0, abn, exit_code).astype(jnp.int32)

@@ -62,7 +62,11 @@ def test_no_psi_error_unchanged():
 
 
 def _call_err4(dtype, grad_res):
-    """error_code -4 (Newton wanted, second derivatives disallowed)."""
+    """error_code -4 (Newton wanted, second derivatives disallowed).
+    The live combination sets restart=True in the same iteration
+    (driver: restart_new = error_code < 0), which suppresses the normal
+    exit lattice — the D12 conversion must act on the abnormal branch
+    itself."""
     import jax.numpy as jnp
     dims = Dims(n=3, m=4, q=0, l=2)
     tmax = dims.tmax
@@ -77,7 +81,7 @@ def _call_err4(dtype, grad_res):
     act_valid = jnp.asarray([True, False])
     x = jnp.asarray([1.0, 2.0, 3.0], dtype)
     return int(check_termination(
-        p, jnp.int32(1), jnp.asarray(False), jnp.asarray(False), d_gn,
+        p, jnp.int32(1), jnp.asarray(True), jnp.asarray(False), d_gn,
         jnp.int32(2), jnp.asarray(grad_res, dtype), act_cx, act_A,
         act_valid, jnp.int32(1), x, x + jnp.asarray(0.5, dtype),
         jnp.asarray([0.0, 1.0], dtype), jnp.asarray([True, False]),
