@@ -10,16 +10,16 @@ and Hessians, vmap batching across instances, and mesh sharding for
 multi-chip scale.
 """
 
-import jax as _jax
-
-# TPU MXU matmuls default to bf16 passes for f32 inputs
-# (Precision.DEFAULT).  The solver's factorization chains (CPQR panels,
-# J@Q1, triangular solves) lose ~3 decimal digits under that and drop
-# HS-suite optimum matches (hs42/hs53 at f32 on v5e, measured round 3);
-# full-f32 multiply is required for reference-grade accuracy.  Respect
-# an explicit user/global setting; otherwise default to float32.
-if _jax.config.jax_default_matmul_precision is None:
-    _jax.config.update("jax_default_matmul_precision", "float32")
+# Matmul precision note: TPU MXU matmuls default to bf16 passes for
+# f32 inputs (Precision.DEFAULT); the solver's factorization chains
+# (CPQR panels, J@Q1, triangular solves) lose ~3 decimal digits under
+# that and drop HS-suite optimum matches (hs42/hs53 at f32 on v5e,
+# measured round 3).  Rather than mutating the PROCESS-global
+# jax_default_matmul_precision at import time (which would silently
+# change every other JAX computation in the user's process), every
+# solve entry point scopes the precision to itself via
+# Options.matmul_precision (default "float32"; see
+# core.types.matmul_precision_scope).
 
 from .core.driver import Functions, SolveResult, solve as core_solve
 from .core.types import Dims, Options, Tols

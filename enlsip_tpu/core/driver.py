@@ -46,7 +46,8 @@ from .subproblem import (ActiveConstraint, FactorA, FactorL11, GNResult,
                          second_mult_estimate, zeros_factor_l11)
 from .termination import check_termination
 from .types import (Carry, Counters, Dims, Options, PrevIter, Tols,
-                    WorkingView, rdims_or, working_view)
+                    WorkingView, matmul_precision_scope, rdims_or,
+                    working_view)
 from .working_set import (check_constraint_deletion,
                           evaluate_violated_constraints, init_working_set,
                           minmax_lagrangian_mult)
@@ -481,34 +482,38 @@ class SolveResult(NamedTuple):
 
 
 def solve(fns: Functions, x0, dims: Dims, opts: Options, tols: Tols,
-          time_limit: float = 1e3, dtype=None) -> SolveResult:
+          time_limit: float | None = None, dtype=None) -> SolveResult:
     """Host-level solve: jitted chunked while_loop + wall-clock limit.
 
     The reference checks elapsed time every iteration (:2836,
-    :2511-2512); a device loop cannot read the wall clock, so a custom
+    :2511-2512); a device loop cannot read the wall clock, so a finite
     limit is enforced by an adaptive chunk schedule: one measured
     iteration, then chunks sized to half the remaining budget from the
     measured per-iteration time.  ``chunk`` is traced (every size
     shares one compiled executable), so a limited solve costs ~3
     dispatches total — not one dispatch per iteration.  With the
-    default (1e3 s) limit the whole solve is a single dispatch with a
-    SINGLE host sync (the final bundled transfer): on this
-    environment's transport each host round trip costs ~45 ms —
-    more than the n=1000 device loop itself — so the default path
-    avoids every intermediate sync and fetches all result fields in
-    one ``device_get``.
+    default (``time_limit=None`` / ``inf``: unlimited — the reference's
+    1e3 s default is never reached by a max_iter=100 solve) the whole
+    solve is a single dispatch with a SINGLE host sync (the final
+    bundled transfer): on this environment's transport each host round
+    trip costs ~45 ms — more than the n=1000 device loop itself — so
+    the unlimited path avoids every intermediate sync and fetches all
+    result fields in one ``device_get``.  Any finite numeric
+    ``time_limit`` (including values >= 1e3) is honored via the chunked
+    path.
     """
     dtype = dtype or jnp.asarray(x0).dtype
     start_time = time.time()
-    if time_limit >= 1e3:
-        # Default-limit fast path: init + the full while_loop + the
-        # packed result fused into ONE dispatch (TERCRI returns -2 at
-        # max_iter, so it always terminates); the only host round trip
-        # is the single-buffer transfer of the packed result.
-        flat = _solve_full_jit(jnp.asarray(x0, dtype), tols, fns,
-                               dims, opts, jnp.dtype(dtype).name)
-        return _unpack_result(jax.device_get(flat), dims.n, start_time)
-    else:
+    with matmul_precision_scope(opts):
+        if time_limit is None or time_limit == float("inf"):
+            # Unlimited fast path: init + the full while_loop + the
+            # packed result fused into ONE dispatch (TERCRI returns -2
+            # at max_iter, so it always terminates); the only host
+            # round trip is the single-buffer transfer of the packed
+            # result.
+            flat = _solve_full_jit(jnp.asarray(x0, dtype), tols, fns,
+                                   dims, opts, jnp.dtype(dtype).name)
+            return _unpack_result(jax.device_get(flat), dims.n, start_time)
         carry = _init_carry_jit(jnp.asarray(x0, dtype), fns, dims, opts,
                                 jnp.dtype(dtype).name)
         per_iter = None
@@ -534,7 +539,7 @@ def solve(fns: Functions, x0, dims: Dims, opts: Options, tols: Tols,
                 0.5 * per_iter, measured)
             if exit_code != 0:
                 break
-    # ONE single-buffer host transfer for everything (each extra
-    # device_get leaf is a full round trip on this transport).
-    return _unpack_result(jax.device_get(_pack_result_jit(carry)), dims.n,
-                          start_time)
+        # ONE single-buffer host transfer for everything (each extra
+        # device_get leaf is a full round trip on this transport).
+        return _unpack_result(jax.device_get(_pack_result_jit(carry)),
+                              dims.n, start_time)

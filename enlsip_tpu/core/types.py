@@ -10,6 +10,7 @@ dimA, dimJ2) is a traced int32.
 
 from __future__ import annotations
 
+import contextlib
 import dataclasses
 from typing import NamedTuple
 
@@ -106,6 +107,28 @@ class Options:
     # or "qr" (Householder thin QR first stage; numerically safest for
     # cond(J2) beyond ~1/sqrt(eps), ~30x slower on TPU at 5M rows).
     tall_qr: str = "cholqr"
+    # Matmul precision for every dot/GEMM inside this solve.  TPU MXU
+    # matmuls default to bf16 multiply passes for f32 inputs, which
+    # costs ~3 decimal digits through the factorization chains and
+    # drops HS-suite optimum matches (measured round 3); "float32"
+    # (the default) forces full-f32 passes for reference-grade
+    # accuracy.  "bfloat16"/"tensorfloat32" opt back into the fast MXU
+    # passes per solve for users who accept the accuracy trade — the
+    # TPU-native analogue of the reference's per-call element type T
+    # (/root/reference/src/solver.jl:62).  None inherits the ambient
+    # jax default (no scope is installed).
+    matmul_precision: str | None = "float32"
+
+
+def matmul_precision_scope(opts: "Options"):
+    """Context manager scoping ``jax_default_matmul_precision`` to one
+    solve entry point.  The setting is thread-local and part of JAX's
+    trace context (each value traces/compiles its own executable), so
+    the process-global default the user may have set is never touched
+    (and import order does not matter)."""
+    if opts.matmul_precision is None:
+        return contextlib.nullcontext()
+    return jax.default_matmul_precision(opts.matmul_precision)
 
 
 def acc(v):

@@ -250,11 +250,12 @@ def build_constraint_functions(model: CnlsModel):
 # ---------------------------------------------------------------- solve
 
 def solve(model: CnlsModel, *, silent: bool = True, max_iter: int = 100,
-          scaling: bool = False, time_limit: float = 1e3,
+          scaling: bool = False, time_limit: Optional[float] = None,
           abs_tol: Optional[float] = None, rel_tol: Optional[float] = None,
           c_tol: Optional[float] = None, x_tol: Optional[float] = None,
           dtype=None, weight_code: int = 2,
-          second_derivatives: bool = True) -> CnlsModel:
+          second_derivatives: bool = True,
+          matmul_precision: Optional[str] = "float32") -> CnlsModel:
     """solve! (solver.jl:61-91).
 
     Tolerance mapping is the reference's exactly: ``abs_tol`` defaults
@@ -262,6 +263,19 @@ def solve(model: CnlsModel, *, silent: bool = True, max_iter: int = 100,
     x_tol default to rel_tol; eps_rank = sqrt(eps(T)); and the internal
     epsilon-absolute stays at the enlsip default 1e-10 regardless of
     ``abs_tol`` (solve! never forwards it, solver.jl:80-81).
+
+    ``time_limit``: wall-clock budget in seconds; ``None`` (default) is
+    unlimited and runs the single-dispatch fast path (the reference's
+    1e3 s default is never reached by a max_iter=100 solve; any finite
+    value here IS enforced, unlike the reference only approximately at
+    chunk granularity).
+
+    ``matmul_precision``: per-solve MXU precision — the TPU-native
+    analogue of the reference's element-type parameter T
+    (solver.jl:62).  "float32" (default) = full-precision passes,
+    reference-grade accuracy; "bfloat16"/"tensorfloat32" = fast MXU
+    passes (~1.6x faster GEMM-bound solves, ~3 fewer decimal digits);
+    None = inherit the ambient JAX default.
     """
     if dtype is None:
         dtype = jnp.zeros(0).dtype  # respects jax_enable_x64
@@ -282,7 +296,8 @@ def solve(model: CnlsModel, *, silent: bool = True, max_iter: int = 100,
     # (enlsip_functions.jl:2658).
     second_derivatives = second_derivatives and (n + m < 1000)
     opts = Options(scaling=scaling, second_derivatives=second_derivatives,
-                   weight_code=weight_code, max_iter=max_iter)
+                   weight_code=weight_code, max_iter=max_iter,
+                   matmul_precision=matmul_precision)
     tols = Tols(eps_abs=jnp.asarray(eps_abs_internal, dtype),
                 eps_rel=jnp.asarray(rel_tol, dtype),
                 eps_x=jnp.asarray(x_tol, dtype),

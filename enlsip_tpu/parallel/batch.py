@@ -28,7 +28,8 @@ from jax import lax
 
 from ..core.batched import batched_guarded_body, bind_data
 from ..core.driver import Functions, guarded_body, init_carry
-from ..core.types import Carry, Counters, Dims, Options, Tols
+from ..core.types import (Carry, Counters, Dims, Options, Tols,
+                          matmul_precision_scope)
 
 
 class BatchResult(NamedTuple):
@@ -143,7 +144,7 @@ def _run_batch_chunk_jit(carry: Carry, tols: Tols, chunk, data, rdims,
 
 def solve_batched(fns: Functions, x0_batch, dims: Dims, opts: Options,
                   tols: Tols, dtype=None, data=None, rdims=None,
-                  time_limit: float = 1e3) -> BatchResult:
+                  time_limit: float | None = None) -> BatchResult:
     """One-call batched solve of B same-shaped CNLS instances.
 
     ``fns`` must be hashable (e.g. a Functions of top-level closures).
@@ -156,43 +157,44 @@ def solve_batched(fns: Functions, x0_batch, dims: Dims, opts: Options,
 
     ``time_limit``: wall-clock budget in seconds (reference
     enlsip_functions.jl:2836, 2511-2512 checks elapsed time every
-    iteration).  With the default (1e3 s) the whole batch is ONE
-    dispatch; a custom limit runs adaptive chunks (one measured trip,
-    then chunks sized to half the remaining budget) and lanes still
-    running when the budget expires exit -11 (:time_limit_exceeded),
-    exactly like the single-solve driver.
+    iteration).  With the default (``None`` / ``inf``: unlimited) the
+    whole batch is ONE dispatch; any finite limit runs adaptive chunks
+    (one measured trip, then chunks sized to half the remaining budget)
+    and lanes still running when the budget expires exit -11
+    (:time_limit_exceeded), exactly like the single-solve driver.
     """
     x0_batch = jnp.asarray(x0_batch)
     dtype = dtype or x0_batch.dtype
     data = () if data is None else jax.tree.map(jnp.asarray, data)
-    if time_limit >= 1e3:
-        return _solve_batched_jit(x0_batch.astype(dtype), data, rdims, fns,
-                                  dims, opts, tols, None,
-                                  jnp.dtype(dtype).name)
-    start_time = time.time()
-    carry = _init_batch_jit(x0_batch.astype(dtype), data, rdims, fns, dims,
-                            opts, jnp.dtype(dtype).name)
-    cap = opts.max_iter + 2
-    per_trip = None
-    while True:
-        remaining_t = time_limit - (time.time() - start_time)
-        if remaining_t <= 0:
-            # Budget exhausted: still-running lanes exit -11.
-            carry = carry._replace(exit_code=jnp.where(
-                carry.exit_code == 0, jnp.int32(-11), carry.exit_code))
-            break
-        if per_trip is None:
-            chunk = 1  # measurement trip (absorbs cold compile too)
-        else:
-            chunk = max(1, min(cap, int(0.5 * remaining_t / per_trip)))
-        t0 = time.time()
-        carry = _run_batch_chunk_jit(carry, tols, jnp.int32(chunk), data,
-                                     rdims, fns, dims, opts)
-        any_running = bool(jnp.any(carry.exit_code == 0))  # syncs
-        dt = time.time() - t0
-        measured = dt / chunk
-        per_trip = measured if per_trip is None else max(0.5 * per_trip,
-                                                         measured)
-        if not any_running:
-            break
-    return finalize(carry)
+    with matmul_precision_scope(opts):
+        if time_limit is None or time_limit == float("inf"):
+            return _solve_batched_jit(x0_batch.astype(dtype), data, rdims,
+                                      fns, dims, opts, tols, None,
+                                      jnp.dtype(dtype).name)
+        start_time = time.time()
+        carry = _init_batch_jit(x0_batch.astype(dtype), data, rdims, fns,
+                                dims, opts, jnp.dtype(dtype).name)
+        cap = opts.max_iter + 2
+        per_trip = None
+        while True:
+            remaining_t = time_limit - (time.time() - start_time)
+            if remaining_t <= 0:
+                # Budget exhausted: still-running lanes exit -11.
+                carry = carry._replace(exit_code=jnp.where(
+                    carry.exit_code == 0, jnp.int32(-11), carry.exit_code))
+                break
+            if per_trip is None:
+                chunk = 1  # measurement trip (absorbs cold compile too)
+            else:
+                chunk = max(1, min(cap, int(0.5 * remaining_t / per_trip)))
+            t0 = time.time()
+            carry = _run_batch_chunk_jit(carry, tols, jnp.int32(chunk), data,
+                                         rdims, fns, dims, opts)
+            any_running = bool(jnp.any(carry.exit_code == 0))  # syncs
+            dt = time.time() - t0
+            measured = dt / chunk
+            per_trip = measured if per_trip is None else max(0.5 * per_trip,
+                                                             measured)
+            if not any_running:
+                break
+        return finalize(carry)

@@ -25,7 +25,8 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..core.driver import Functions, init_carry, run_chunk
-from ..core.types import Carry, Dims, Options, Tols
+from ..core.types import (Carry, Dims, Options, Tols,
+                          matmul_precision_scope)
 
 
 def row_mesh(devices=None, axis: str = "rows") -> Mesh:
@@ -77,7 +78,7 @@ def solve_rowsharded(fns: Functions, x0, dims: Dims, opts: Options,
         opts = dataclasses.replace(opts, tsqr_axis=axis)
         assert dims.m // mesh.devices.size >= dims.n, \
             "tsqr needs m/D >= n row panels"
-    with jax.set_mesh(mesh):
+    with jax.set_mesh(mesh), matmul_precision_scope(opts):
         carry = init_carry(fns, x0, dims, opts, dtype)
         shardings = _carry_shardings(carry, mesh, axis)
         carry = jax.device_put(carry, shardings)

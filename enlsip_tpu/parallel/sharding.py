@@ -22,7 +22,7 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..core.driver import Functions
-from ..core.types import Dims, Options, Tols
+from ..core.types import Dims, Options, Tols, matmul_precision_scope
 from .batch import BatchResult, finalize, init_batch, run_batch
 
 
@@ -75,8 +75,9 @@ def solve_batched_sharded(fns: Functions, x0_batch, dims: Dims,
                           rdims=rdims)
         return finalize(carry)
 
-    res = _run(x0_batch, data, rdims, fns, dims, opts, tols,
-               jnp.dtype(dtype).name)
+    with matmul_precision_scope(opts):
+        res = _run(x0_batch, data, rdims, fns, dims, opts, tols,
+                   jnp.dtype(dtype).name)
     if res.x.shape[0] != B:  # drop padding
         res = BatchResult(exit_code=res.exit_code[:B], x=res.x[:B],
                           f=res.f[:B], n_iter=res.n_iter[:B],

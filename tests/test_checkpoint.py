@@ -63,3 +63,30 @@ def test_load_without_like(tmp_path):
     save_carry(path, carry)
     resumed = load_carry(path)
     np.testing.assert_array_equal(np.asarray(resumed.x), np.asarray(carry.x))
+
+
+def test_load_v1_format_migrates(tmp_path):
+    """A pre-version file (v1: trailing time_exceeded leaf, no
+    __format_version__ entry) loads by dropping the obsolete leaf."""
+    fns, dims, opts, tols = _setup()
+    x0 = jnp.asarray(HS65["starting_point"], jnp.float64)
+    carry = init_carry(fns, x0, dims, opts, jnp.float64)
+    leaves = [np.asarray(l) for l in jax.tree.leaves(carry)]
+    leaves.append(np.asarray(False))  # v1 time_exceeded
+    path = str(tmp_path / "v1.npz")
+    np.savez(path, **{f"leaf_{i}": l for i, l in enumerate(leaves)})
+    resumed = load_carry(path, like=carry)
+    np.testing.assert_array_equal(np.asarray(resumed.x), np.asarray(carry.x))
+    assert len(jax.tree.leaves(resumed)) == len(jax.tree.leaves(carry))
+
+
+def test_load_wrong_leaf_count_errors(tmp_path):
+    fns, dims, opts, tols = _setup()
+    x0 = jnp.asarray(HS65["starting_point"], jnp.float64)
+    carry = init_carry(fns, x0, dims, opts, jnp.float64)
+    leaves = [np.asarray(l) for l in jax.tree.leaves(carry)][:-3]
+    path = str(tmp_path / "bad.npz")
+    np.savez(path, **{f"leaf_{i}": l for i, l in enumerate(leaves)})
+    import pytest
+    with pytest.raises(ValueError, match="incompatible"):
+        load_carry(path, like=carry)
