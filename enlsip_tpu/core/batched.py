@@ -69,10 +69,12 @@ def _broadcast_tree(tree, B):
 
 def batched_working_set_round(mask, A, cx, rx, J, gf, index_del, alive,
                               dims: Dims, opts: Options,
-                              eps_rank, rdims=None) -> WorkingSetRound:
+                              tols: Tols, rdims=None,
+                              stall_hint=None) -> WorkingSetRound:
     """Batched WRKSET: round 1 always (vmapped), F_L11 and the
     second-order deletion round only when some live lane needs them."""
     scaling = opts.scaling
+    eps_rank = tols.eps_rank
     B = mask.shape[0]
 
     view, t, act, F_A, rankA = jax.vmap(
@@ -89,12 +91,16 @@ def batched_working_set_round(mask, A, cx, rx, J, gf, index_del, alive,
                            zeros_l11),
         lambda: zeros_l11)
 
+    if stall_hint is None:
+        stall_hint = jnp.ones(B, bool)
     r1 = jax.vmap(
         lambda mask, A, cx, rx, J, gf, idel, view, t, act, F_A, rankA, F_L11,
-        rd: _ws_round1(mask, A, cx, rx, J, gf, idel, dims, scaling, eps_rank,
-                       view, t, act, F_A, rankA, F_L11, rd)
+        rd, sh: _ws_round1(
+            mask, A, cx, rx, J, gf, idel, dims, scaling, tols,
+            view, t, act, F_A, rankA, F_L11, rd, stall_hint=sh,
+            rank_deficient_deletion=opts.rank_deficient_deletion)
     )(mask, A, cx, rx, J, gf, index_del, view, t, act, F_A, rankA, F_L11,
-      rdims)
+      rdims, stall_hint)
 
     do2 = r1.do2 & alive
     keep_out = jax.vmap(_ws_keep)(r1, mask)
@@ -194,9 +200,12 @@ def batched_iterate_body(carry: Carry, fns: Functions, dims: Dims,
         real = jnp.arange(dims.l)[None, :] < rdims.l[:, None]
         cx_sum_start = jnp.sum(jnp.where(real, cx * cx, 0.0), axis=-1)
 
+    x_diff_prev = jnp.linalg.norm(carry.prev.x - x, axis=-1)
+    stall_hint = (carry.nb_iter >= 2) & \
+        (x_diff_prev < tols.eps_x * (1.0 + jnp.linalg.norm(x, axis=-1)))
     wsr = batched_working_set_round(
         carry.active_mask, A, cx, rx, J, gf, carry.index_del, alive, dims,
-        opts, tols.eps_rank, rdims)
+        opts, tols, rdims, stall_hint)
 
     act_idx = wsr.view.active_list[:, :dims.tmax]
     active_cx_sum = jnp.sum(

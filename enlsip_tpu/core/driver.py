@@ -75,11 +75,19 @@ class Functions(NamedTuple):
 
 
 def new_point(fns: Functions, x, counters: Counters):
-    """new_point! (:34-52): evaluate r, J, c, A (4 evaluations)."""
-    rx = fns.res(x)
-    J = fns.jac_res(x)
-    cx = fns.cons(x)
-    A = fns.jac_cons(x)
+    """new_point! (:34-52): evaluate r, J, c, A (4 evaluations).
+
+    The solve dtype (x's) is authoritative — the reference's element
+    type T flows from x0 through every array (solver.jl:62); here user
+    closures are cast at this evaluation boundary, so e.g. an f32 solve
+    under jax_enable_x64 (where closure constants default to f64) keeps
+    a uniformly-f32 carry instead of mixed dtypes that break the
+    while_loop carry typing."""
+    dt = x.dtype
+    rx = jnp.asarray(fns.res(x), dt)
+    J = jnp.asarray(fns.jac_res(x), dt)
+    cx = jnp.asarray(fns.cons(x), dt)
+    A = jnp.asarray(fns.jac_cons(x), dt)
     counters = Counters(nb_res=counters.nb_res + 1,
                         nb_jacres=counters.nb_jacres + 1,
                         nb_cons=counters.nb_cons + 1,
@@ -160,12 +168,15 @@ class WSRound1(NamedTuple):
 
 
 def _ws_round1(mask, A, cx, rx, J, gf, index_del_in, dims: Dims,
-               scaling: bool, eps_rank, view, t, act, F_A, rankA,
+               scaling: bool, tols: Tols, view, t, act, F_A, rankA,
                F_L11, rdims=None, tsqr_axis=None,
-               tall_qr: str = "cholqr") -> WSRound1:
+               tall_qr: str = "cholqr",
+               stall_hint=jnp.bool_(True),
+               rank_deficient_deletion: bool = True) -> WSRound1:
     """WRKSET round 1 given stage-1 factorization results: GN direction,
     both multiplier estimates, and the round-2 decision (:686-795)."""
     rd = rdims_or(rdims, dims)
+    eps_rank = tols.eps_rank
     gn = gn_search_direction(J, rx, act, F_A, F_L11, rankA, t, eps_rank, dims,
                              rdims, tsqr_axis, tall_qr)
     lam, grad_res = first_mult_estimate(F_A, act, t, dims, scaling, eps_rank)
@@ -184,6 +195,48 @@ def _ws_round1(mask, A, cx, rx, J, gf, index_del_in, dims: Dims,
     s2 = check_constraint_deletion(rd.q, lam2, act.valid, t, scaling,
                                    act.diag_scale, jnp.asarray(0.0, rx.dtype))
     do2 = full_rank & (s2 >= 0)
+    if rank_deficient_deletion and \
+            jnp.finfo(rx.dtype).eps > jnp.finfo(jnp.float64).eps:
+        # D13 (f32 robustness): rank-deficient second-order deletion.
+        # The reference's deletion gate requires FULL-RANK factorizations
+        # (enlsip_functions.jl:745-790, the same t == rankA && rankJ2 ==
+        # min(m, n - rankA) condition as ``full_rank`` above).  At f64
+        # that gate opens at every stationary point the suite reaches; at
+        # f32 a pseudo-rank can drop AT the optimum, and a lane holding a
+        # genuinely negative inequality multiplier there is deadlocked:
+        # TERCRI's necessary conditions fail on sigma_min forever (the
+        # multiplier can only leave through this gate) and the lane
+        # eventually aborts -6/-4 at a point whose working set is simply
+        # one deletion away from optimal (measured round 3: 19/10k
+        # ODE-fit lanes).  When the iterate already satisfies EVERY
+        # OTHER necessary first-order condition (feasible active +
+        # inactive sets, small projected gradient) and the second
+        # estimate — which second_mult_estimate already computes on the
+        # pseudo-rank-TRUNCATED factorization — still flags a negative
+        # multiplier, AND the lane shows stall evidence (``stall_hint``:
+        # the last two steps moved x by < eps_x relative — the same
+        # noise-limited-movement signal as TERCRI's +300 class; without
+        # it the predicate fires on TRANSIENT negative multipliers at
+        # near-stationary waypoints of still-moving trajectories and
+        # deflects them to alternate stationary points, measured -54bp
+        # of optimum rate on the 10k ODE-fit batch), the deletion is
+        # performed despite the deficient rank.  Far from stationarity
+        # nothing changes (the predicate fails); f64 is untouched
+        # (dtype-static branch).
+        act_cx_nrm = jnp.sqrt(jnp.sum(jnp.where(act.valid,
+                                                act.cx_act * act.cx_act, 0.0)))
+        stationary = (act_cx_nrm < tols.eps_c) & \
+            (grad_res < jnp.sqrt(tols.eps_rel) * (1 + jnp.linalg.norm(gf)))
+        inact = ~mask
+        inact_ok = jnp.all(jnp.where(inact, cx > 0.0, True))
+        stationary = stationary & jnp.where(jnp.sum(inact) > 0, inact_ok, True)
+        sigma_min, lam_abs_max = minmax_lagrangian_mult(
+            lam, act.valid, t, rd.q, scaling, act.diag_scale)
+        factor = jnp.where(t == 1, 1.0 + jnp.dot(rx, rx), lam_abs_max)
+        neg_block = (t > rd.q) & (sigma_min < tols.eps_rel * factor)
+        deadlock = (stationary & neg_block & ~full_rank & (s2 >= 0) &
+                    stall_hint)
+        do2 = do2 | deadlock
     return WSRound1(view=view, t=t, act=act, F_A=F_A, F_L11=F_L11, gn=gn,
                     lam=lam, lam_sel=lam_sel, lam2=lam2, grad_res=grad_res,
                     s2=s2, do2=do2, index_del=index_del)
@@ -215,17 +268,20 @@ def _ws_keep(r1: WSRound1, mask):
 
 
 def _working_set_round(mask, A, cx, rx, J, gf, index_del_in, dims: Dims,
-                       opts: Options, eps_rank, rdims=None) -> WorkingSetRound:
+                       opts: Options, tols: Tols, rdims=None,
+                       stall_hint=jnp.bool_(True)) -> WorkingSetRound:
     """WRKSET (:686-795), see module docstring for the branch analysis."""
     scaling = opts.scaling
+    eps_rank = tols.eps_rank
     view, t, act, F_A, rankA = _factor_stage1(mask, A, cx, gf, dims, scaling,
                                               eps_rank)
     F_L11 = lax.cond(rankA < t,
                      lambda: factor_l11(F_A, act, t),
                      lambda: zeros_factor_l11(dims, F_A.R.dtype))
     r1 = _ws_round1(mask, A, cx, rx, J, gf, index_del_in, dims, scaling,
-                    eps_rank, view, t, act, F_A, rankA, F_L11, rdims,
-                    opts.tsqr_axis, opts.tall_qr)
+                    tols, view, t, act, F_A, rankA, F_L11, rdims,
+                    opts.tsqr_axis, opts.tall_qr, stall_hint,
+                    opts.rank_deficient_deletion)
 
     (mask_o, view_o, t_o, act_o, F_A_o, F_L11_o, gn_o, lam_o, deleted,
      index_del_o) = lax.cond(
@@ -278,9 +334,15 @@ def iterate_body(carry: Carry, fns: Functions, dims: Dims, opts: Options,
     cx_sum_start = _cx_sq_sum(cx, dims, rdims)
 
     # --- EVSCAL + WRKSET ------------------------------------------------
+    # D13 stall evidence (f32 only; see _ws_round1): the last two steps
+    # moved x by less than eps_x relative — prev.x spans two steps, same
+    # as TERCRI's x_diff (the :2860 copy-before-refresh quirk).
+    x_diff_prev = jnp.linalg.norm(carry.prev.x - x)
+    stall_hint = (carry.nb_iter >= 2) & \
+        (x_diff_prev < tols.eps_x * (1.0 + jnp.linalg.norm(x)))
     wsr = _working_set_round(carry.active_mask, A, cx, rx, J, gf,
-                             carry.index_del, dims, opts, tols.eps_rank,
-                             rdims)
+                             carry.index_del, dims, opts, tols, rdims,
+                             stall_hint)
     t = wsr.t
     act_idx = wsr.view.active_list[:dims.tmax]
     active_cx_sum = jnp.sum(jnp.where(wsr.act.valid, cx[act_idx] ** 2, 0.0))

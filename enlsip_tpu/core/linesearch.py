@@ -571,8 +571,8 @@ def compute_steplength(res_trial, cons_fn, x, rx, J, cx, A,
     (alpha, psi_err, index_alpha_upp, pred, progress, updated, counters) = \
         lax.cond(code == 2, newton_path, gn_path, counters)
 
-    w_out = jnp.where(code == 2, w_old, w)
-    K_out = jnp.where(code == 2, K, K_new)
+    w_out = jnp.where(code == 2, w_old, w).astype(dtype)
+    K_out = jnp.where(code == 2, K, K_new).astype(dtype)
     # Cast decision-precision scalars back to the carry dtype.
     return SteplengthResult(alpha=alpha.astype(dtype), w=w_out, K=K_out,
                             psi_error=psi_err,

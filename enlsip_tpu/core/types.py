@@ -118,6 +118,14 @@ class Options:
     # (/root/reference/src/solver.jl:62).  None inherits the ambient
     # jax default (no scope is installed).
     matmul_precision: str | None = "float32"
+    # D13 (f32 only; no effect at f64): allow the second-order
+    # working-set deletion round on a pseudo-rank-DEFICIENT
+    # factorization when the iterate is otherwise stationary, holds a
+    # genuinely negative multiplier, and shows stall evidence — the
+    # deadlock the reference's full-rank-only gate
+    # (enlsip_functions.jl:745-790) cannot resolve at f32 rank drops.
+    # See core/driver._ws_round1 and PARITY.md D13.
+    rank_deficient_deletion: bool = True
 
 
 def matmul_precision_scope(opts: "Options"):
