@@ -80,6 +80,26 @@ def bench_chained_rosenbrock(n=1000, dtype=jnp.float32, repeats=3):
     return min(times[1:]), status
 
 
+def bench_cr5000(dtype=jnp.float32):
+    """CR n=5000 both ways on the per-solve precision knob (VERDICT r3
+    #4): default f32-highest GEMMs vs opt-in bf16 MXU passes.  The
+    reference's analogue is its generic element type T (solver.jl:62)."""
+    import enlsip_tpu as et
+    from problems import chained_rosenbrock
+
+    model = et.CnlsModel(**chained_rosenbrock(5000))
+    out = {}
+    for label, prec in (("default", "float32"), ("bf16", "bfloat16")):
+        times, status = [], None
+        for _ in range(2):  # first includes compile; keep the second
+            t0 = time.perf_counter()
+            et.solve(model, dtype=dtype, matmul_precision=prec)
+            times.append(time.perf_counter() - t0)
+            status = et.status(model)
+        out[label] = {"seconds": round(times[-1], 3), "status": str(status)}
+    return out
+
+
 def bench_batched_hs65(B=512, dtype=jnp.float32):
     import enlsip_tpu as et
     from enlsip_tpu.core.driver import Functions
@@ -356,6 +376,26 @@ def bench_hs_suite_subprocess(dtype_name: str, timeout_s: float = 1500):
     return json.loads(p.stdout.strip().splitlines()[-1])
 
 
+def bench_multiproc(timeout_s: float = 1800):
+    """Multi-process jax.distributed weak-scaling proxy (VERDICT r3 #1):
+    the harness runs the REAL multi-host code path (distributed init,
+    gloo collectives, make_array_from_process_local_data) on 1 vs 2 CPU
+    processes at fixed per-process batch and asserts per-lane parity.
+    Runs on CPU in subprocesses regardless of this process's TPU."""
+    import subprocess
+    script = _os.path.join(_os.path.dirname(_os.path.abspath(__file__)),
+                           "benchmarks", "multiproc_harness.py")
+    p = subprocess.run([sys.executable, script], capture_output=True,
+                       text=True, timeout=timeout_s)
+    result = None
+    for line in p.stdout.splitlines():
+        if line.startswith("MULTIPROC_RESULT "):
+            result = json.loads(line[len("MULTIPROC_RESULT "):])
+    if result is None:
+        raise RuntimeError((p.stdout + p.stderr)[-120:])
+    return result
+
+
 def _qr_path():
     """Which CPQR path the CR n=1000 factorizations actually take
     (the J2 buffer there is ~(1998, 1000) f32)."""
@@ -400,6 +440,20 @@ def main():
             hs_suite[dt] = bench_hs_suite_subprocess(dt)
         except Exception as e:  # pragma: no cover
             hs_suite[dt] = {"error": str(e)[:80]}
+    try:
+        cr5000 = bench_cr5000()
+    except Exception as e:  # pragma: no cover
+        cr5000 = {"error": str(e)[:80]}
+    try:
+        mp = bench_multiproc()
+        mp_eff = mp.get("weak_scaling_efficiency")
+        mp_parity = mp.get("parity_ok")
+        mp_detail = {"t_1proc_s": mp.get("t_1proc_s"),
+                     "t_2proc_s": mp.get("t_2proc_s"),
+                     "b_local": mp.get("b_local"),
+                     "check_every": mp.get("check_every")}
+    except Exception as e:  # pragma: no cover
+        mp_eff, mp_parity, mp_detail = None, str(e)[:80], None
     out = {
         "metric": "chained_rosenbrock_n1000_solve_seconds",
         "value": round(t_cr, 4),
@@ -459,8 +513,32 @@ def main():
             "misses", hs_suite["f32"].get("error")),
         "hs_suite_misses_f64": hs_suite["f64"].get(
             "misses", hs_suite["f64"].get("error")),
+        "cr5000_default_seconds": cr5000.get("default", {}).get(
+            "seconds", cr5000.get("error")),
+        "cr5000_bf16_seconds": cr5000.get("bf16", {}).get("seconds"),
+        "cr5000_default_status": cr5000.get("default", {}).get("status"),
+        "cr5000_bf16_status": cr5000.get("bf16", {}).get("status"),
+        "multiproc_2proc_weak_scaling_efficiency": (
+            round(mp_eff, 3) if isinstance(mp_eff, float) else mp_eff),
+        "multiproc_parity_ok": mp_parity,
+        "multiproc_detail": mp_detail,
         "qr_path": _qr_path(),
         "device": str(jax.devices()[0]),
+        "notes": {
+            "ode_fit_10k_solves_per_sec":
+                "not comparable to BENCH_r02 (2165/s): that number was "
+                "measured while the partial-block CPQR bug corrupted "
+                "lanes 9728+ (fixed in r03, commit a99073f); r03+ "
+                "values are post-fix.",
+            "multiproc_2proc_weak_scaling_efficiency":
+                "proxy on one machine: 2 CPU processes x 2 virtual "
+                "devices each, disjoint cores, gloo collectives, fixed "
+                "per-process batch (real multi-host TPU unavailable). "
+                "Processes share DRAM bandwidth, which depresses the "
+                "proxy below what separate hosts would show.",
+            "cr5000": "matmul_precision='bfloat16' opt-in recovers the "
+                      "f32-default regression; see cr5000_* fields.",
+        },
     }
     print(json.dumps(out))
 

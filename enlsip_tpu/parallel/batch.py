@@ -60,7 +60,8 @@ def init_batch(fns: Functions, x0_batch: jax.Array, dims: Dims,
 
 def run_batch(carry: Carry, fns: Functions, dims: Dims, opts: Options,
               tols: Tols, max_steps: int | None = None,
-              specialized: bool = True, data=(), rdims=None) -> Carry:
+              specialized: bool = True, data=(), rdims=None,
+              check_every: int = 1) -> Carry:
     """Advance every unconverged lane until all lanes terminate (or
     ``max_steps`` loop trips).
 
@@ -69,6 +70,15 @@ def run_batch(carry: Carry, fns: Functions, dims: Dims, opts: Options,
     round, F_L11, subspace, Newton) execute under batch-level conds and
     are skipped entirely whenever no live lane needs them; per-lane
     values are identical to the plain-vmap body.
+
+    ``check_every``: body steps per convergence check.  When the batch
+    axis is sharded over a mesh, the ``jnp.any`` in the loop condition
+    is a cross-device/cross-process all-reduce EVERY trip; checking
+    every k trips cuts the collective count by k at the price of up to
+    k-1 extra lockstep trips at the tail (harmless: terminated lanes
+    are frozen by guarded_body).  Per-lane results are unchanged for
+    any value.  k=1 (default) is best single-device; the multi-process
+    harness uses k>1 to ride out DCN/gloo latency.
 
     Cap invariant: all lanes step in lockstep (a lane's nb_iter only
     advances while its exit_code == 0 and ``record``), so loop trips
@@ -90,7 +100,11 @@ def run_batch(carry: Carry, fns: Functions, dims: Dims, opts: Options,
 
     def step(state):
         c, trips = state
-        return body(c), trips + 1
+        if check_every > 1:
+            c = lax.fori_loop(0, check_every, lambda _, cc: body(cc), c)
+        else:
+            c = body(c)
+        return c, trips + check_every
 
     final, _ = lax.while_loop(cond, step, (carry, jnp.int32(0)))
     return final
