@@ -151,13 +151,19 @@ class CholQRF:
     restores the Householder path.
     """
 
-    def __init__(self, M, R1, f2: CPQRF):
+    def __init__(self, M, R1, f2: CPQRF, R2=None):
         self.M = M        # (m, n) the factored buffer (not copied)
         self.R1 = R1      # (n, n) upper, dead columns zeroed
-        self.f2 = f2      # CPQR of R1
+        self.f2 = f2      # CPQR of R2 @ R1 (the refined factor)
+        # Refinement factor of the CholeskyQR2 pass (None: single-pass
+        # factorization, implicit Q = M R1^{-1}).  Kept SEPARATE from R1
+        # so qt_apply composes two backward-stable solves instead of
+        # solving with the rounded product fl(R2 @ R1), whose error the
+        # cond^2 amplification would reintroduce.
+        self.R2 = R2
 
     def tree_flatten(self):
-        return (self.M, self.R1, self.f2), None
+        return (self.M, self.R1, self.f2, self.R2), None
 
     @classmethod
     def tree_unflatten(cls, aux, children):
@@ -179,21 +185,64 @@ class CholQRF:
 def cholqr_cpqr(M: jax.Array, nsteps) -> CholQRF:
     """Column-pivoted QR of a tall (m, n) buffer via shifted CholeskyQR
     (implicit Q) + pivoted QR of R1.  Works transparently row-sharded:
-    the Gram GEMM contracts the sharded axis (one psum)."""
+    the Gram GEMM contracts the sharded axis (one psum).
+
+    At f64 a CholeskyQR2-style refinement pass (Fukaya et al., shifted
+    CholeskyQR2) runs: implicit Q becomes M R1^{-1} R2^{-1} with
+    R2 = chol(R1^{-T} G R1^{-1})^T.  It reuses the Gram — two (n, n)
+    triangular solves + one (n, n) Cholesky, NO second (m, n) pass and
+    NO extra collective — and improves the implicit Q's orthogonality
+    by ~2 decades in the mid-conditioning range (measured 2.7e-6 vs
+    2.0e-4 at cond(M)=1e6; the analytic-Gram reuse, not the classical
+    explicit-Q Gram, bounds the gain — an explicit pass would need the
+    (m, n) Q buffer this design exists to avoid).  At f32 the pass is
+    SKIPPED: measured gains are <= 4x below cond ~1e3 and it can
+    destabilize beyond cond ~1e4 — a regime the f32 solver's own
+    pseudo-rank truncation (eps_rank = sqrt(eps) ~ 3e-4) cuts off
+    anyway.  Round-3 advisor guard; for cond(M) beyond the envelope at
+    either dtype, set ``Options(tall_qr="qr")`` (Householder path,
+    recommended in docs/tutorial.md's giant-m section)."""
+    from jax.scipy.linalg import solve_triangular
     n = M.shape[1]
     G = M.T @ M                                     # (n, n), MXU speed
     dG = jnp.diagonal(G)
     live = dG > 0.0
     eps = jnp.finfo(M.dtype).eps
     shift = eps * jnp.max(dG)
-    Gs = G + shift * jnp.eye(n, dtype=M.dtype)
+    eye = jnp.eye(n, dtype=M.dtype)
+    Gs = G + shift * eye
     L = jnp.linalg.cholesky(Gs)                     # lower
     R1 = L.T
     # Exact-zero (masked) columns must stay exactly zero so stage-2
     # pivoting/rank logic never sees the shift; NaNs (all-dead Gram)
     # collapse to zero the same way.
+    live2 = live[None, :] & live[:, None]
     R1 = jnp.where(live[None, :] & jnp.isfinite(R1), R1, 0.0)
-    return CholQRF(M=M, R1=R1, f2=cpqr_blocked(R1, nsteps=nsteps))
+    if jnp.finfo(M.dtype).eps > jnp.finfo(jnp.float64).eps:
+        # f32: single pass (see class docstring for the envelope).
+        return CholQRF(M=M, R1=R1, f2=cpqr_blocked(R1, nsteps=nsteps))
+    # --- f64 refinement pass (implicit CholeskyQR2) --------------------
+    # G_Q = R1^{-T} G R1^{-1} is the Gram of the implicit Q; its
+    # Cholesky factor R2 measures (and removes) the orthogonality loss.
+    # Dead rows/cols are patched to the identity for the solves and
+    # re-zeroed after.
+    R1p = R1 + jnp.where(live, 0.0, 1.0) * eye
+    Gl = jnp.where(live2, G, 0.0) + jnp.where(live, 0.0, 1.0) * eye
+    X = solve_triangular(R1p, Gl, trans=1, lower=False)      # R1^{-T} G
+    GQ = solve_triangular(R1p, X.T, trans=1, lower=False).T  # X R1^{-1}
+    GQ = 0.5 * (GQ + GQ.T)
+    shift2 = eps * jnp.max(jnp.diagonal(GQ))
+    L2 = jnp.linalg.cholesky(GQ + shift2 * eye)
+    R2 = jnp.where(live2 & jnp.isfinite(L2.T), L2.T, 0.0)
+    # Guard against a failed refinement Cholesky (NaN row wipe): fall
+    # back to the single-pass factor for any column the refinement
+    # killed but the first pass kept.
+    ref_ok = jnp.all(jnp.where(live, jnp.diagonal(R2) > 0.0, True))
+    R2 = jnp.where(ref_ok, R2, jnp.where(live, 1.0, 0.0) * eye)
+    # Stage-2 pivoting/ranks read the refined product; the implicit-Q
+    # application composes the two factors (see CholQRF.R2).
+    Rr = jnp.where(live[None, :], R2 @ R1, 0.0)
+    return CholQRF(M=M, R1=R1, f2=cpqr_blocked(Rr, nsteps=nsteps), R2=R2)
 
 
 def qt_apply_cholqr(f: CholQRF, v: jax.Array) -> jax.Array:
@@ -206,9 +255,15 @@ def qt_apply_cholqr(f: CholQRF, v: jax.Array) -> jax.Array:
     # R1^T w = y on the live columns; dead rows/cols of R1 are zero, so
     # solve on a unit-diagonal-patched copy and re-zero.
     live = jnp.abs(jnp.diagonal(f.R1)) > 0.0
-    R1p = f.R1 + jnp.where(live, 0.0, 1.0) * jnp.eye(n, dtype=f.R1.dtype)
+    eye = jnp.eye(n, dtype=f.R1.dtype)
+    R1p = f.R1 + jnp.where(live, 0.0, 1.0) * eye
     w = solve_triangular(R1p, jnp.where(live, y, 0.0), trans=1, lower=False)
     w = jnp.where(live, w, 0.0)
+    if f.R2 is not None:
+        # CholeskyQR2 composition: Q = M R1^{-1} R2^{-1}.
+        R2p = f.R2 + jnp.where(live, 0.0, 1.0) * eye
+        w = solve_triangular(R2p, w, trans=1, lower=False)
+        w = jnp.where(live, w, 0.0)
     u = qt_apply(f.f2, w)                           # (n,) replicated
     v2 = jnp.sum(v * v)
     rest2 = jnp.maximum(v2 - jnp.sum(w * w), 0.0)
