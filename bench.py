@@ -195,7 +195,20 @@ def bench_ode_fit_batched(B=10_000, dtype=jnp.float32):
     codes, counts = np.unique(ec[miss], return_counts=True)
     breakdown = {int(c): int(k) for c, k in zip(codes, counts)}
     strict = float(np.mean(~miss & (ec > 0)))
-    return B / dt, float(np.mean(~miss)), strict, breakdown
+    # Hybrid escalation (VERDICT r3 #5): re-solve the non-matched /
+    # non-converged residue at f64 (one follow-up launch over the ~tens
+    # of flagged lanes) and report the escalated strict rate.
+    strict_esc, n_esc = strict, 0
+    esc_mask = miss | (ec <= 0)
+    if esc_mask.any():
+        res_e = solve_batched(fns, starts, dims, opts, tols, dtype=dtype,
+                              data=ys, escalate_mask=esc_mask)
+        f_e = np.asarray(res_e.f)
+        ec_e = np.asarray(res_e.exit_code)
+        strict_esc = float(np.mean((f_e < 1e-3) & (ec_e > 0)))
+        n_esc = int(esc_mask.sum())
+    return (B / dt, float(np.mean(~miss)), strict, breakdown, strict_esc,
+            n_esc)
 
 
 def bench_hetero_suite(per_family=512, dtype=jnp.float32, names=None,
@@ -418,10 +431,11 @@ def main():
     except Exception as e:  # pragma: no cover - keep the headline alive
         gm_rate, gm_iters, gm_exit, gm_t = None, None, str(e)[:80], None
     try:
-        ode_rate, ode_opt, ode_strict, ode_breakdown = bench_ode_fit_batched()
+        (ode_rate, ode_opt, ode_strict, ode_breakdown, ode_strict_esc,
+         ode_n_esc) = bench_ode_fit_batched()
     except Exception as e:  # pragma: no cover
-        ode_rate, ode_opt, ode_strict, ode_breakdown = (None, str(e)[:80],
-                                                        None, None)
+        (ode_rate, ode_opt, ode_strict, ode_breakdown, ode_strict_esc,
+         ode_n_esc) = None, str(e)[:80], None, None, None, None
     try:
         het_rate, het_match = bench_hetero_suite()
     except Exception as e:  # pragma: no cover
@@ -489,6 +503,10 @@ def main():
         "ode_fit_10k_miss_exit_codes": (
             {str(k): v for k, v in ode_breakdown.items()}
             if isinstance(ode_breakdown, dict) else ode_breakdown),
+        "ode_fit_10k_strict_escalated": (
+            round(ode_strict_esc, 4) if isinstance(ode_strict_esc, float)
+            else ode_strict_esc),
+        "ode_fit_10k_escalated_lanes": ode_n_esc,
         "hetero_suite_solves_per_sec": (round(het_rate, 1)
                                         if het_rate else het_rate),
         "hetero_suite_match_rate": (round(het_match, 4)
@@ -506,6 +524,10 @@ def main():
                                      if isinstance(hetN_match, float)
                                      else hetN_match),
         "hs_suite_match_f32": hs_suite["f32"].get("matched"),
+        "hs_suite_match_f32_escalated": hs_suite["f32"].get(
+            "matched_escalated"),
+        "hs_suite_misses_f32_escalated": hs_suite["f32"].get(
+            "misses_escalated"),
         "hs_suite_match_f64": hs_suite["f64"].get("matched"),
         "hs_suite_total": hs_suite["f32"].get("total",
                                               hs_suite["f64"].get("total")),

@@ -69,9 +69,34 @@ def run(dtype_name: str) -> dict:
         f, fstar = float(out[n].f[0]), fams[n].fstar
         if not abs(f - fstar) <= MATCH_RTOL * (1 + abs(fstar)):
             misses.append(n)
-    return {"dtype": dtype_name, "matched": len(names) - len(misses),
-            "total": len(names), "misses": misses,
-            "wall_seconds": round(dt, 1)}
+    result = {"dtype": dtype_name, "matched": len(names) - len(misses),
+              "total": len(names), "misses": misses,
+              "wall_seconds": round(dt, 1)}
+
+    if dtype_name == "f32" and misses:
+        # Hybrid escalation (VERDICT r3 #5): re-solve the non-matched /
+        # non-converged lanes at f64 in one follow-up launch.  The mask
+        # route is used (not the exit-code rule) because the f32
+        # precision-limited families (hs30/hs57) terminate POSITIVE at
+        # the f32-evaluation optimum — only fstar knowledge flags them.
+        from enlsip_tpu.parallel.batch import solve_batched
+        mask = np.zeros(fused.x0.shape[0], bool)
+        for i, n in enumerate(names):
+            ec = int(out[n].exit_code[0])
+            if n in misses or ec <= 0:
+                mask[fused.slices[n]] = True
+        res = solve_batched(fused.fns, fused.x0, fused.dims, Options(),
+                            _tols(dtype), dtype=dtype, data=fused.data,
+                            rdims=fused.rdims, escalate_mask=mask)
+        misses_esc = []
+        for i, n in enumerate(names):
+            f, fstar = float(res.f[fused.slices[n]][0]), fams[n].fstar
+            if not abs(f - fstar) <= MATCH_RTOL * (1 + abs(fstar)):
+                misses_esc.append(n)
+        result["matched_escalated"] = len(names) - len(misses_esc)
+        result["misses_escalated"] = misses_esc
+        result["escalated_lanes"] = int(mask.sum())
+    return result
 
 
 if __name__ == "__main__":

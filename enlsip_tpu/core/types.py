@@ -156,6 +156,15 @@ class Tols(NamedTuple):
     eps_c: jax.Array
     eps_rank: jax.Array
 
+    @classmethod
+    def for_dtype(cls, dtype) -> "Tols":
+        """The reference's eps(T)-scaled defaults (solver.jl:62-63,80-81
+        incl. the internal eps_abs=1e-10 quirk): rel = sqrt(eps(T)),
+        c/x/rank tolerances = rel."""
+        rel = float(jnp.finfo(dtype).eps) ** 0.5
+        return cls(*(jnp.asarray(v, dtype)
+                     for v in (1e-10, rel, rel, rel, rel)))
+
 
 class Counters(NamedTuple):
     """Evaluation counters — observable via ExecutionInfo

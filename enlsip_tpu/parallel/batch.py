@@ -40,6 +40,7 @@ class BatchResult(NamedTuple):
     f: jax.Array           # (B,) ||r(x)||^2
     n_iter: jax.Array      # (B,)
     counters: Counters     # each (B,)
+    escalated: jax.Array | None = None  # (B,) bool when escalate_f64 ran
 
 
 def init_batch(fns: Functions, x0_batch: jax.Array, dims: Dims,
@@ -156,9 +157,70 @@ def _run_batch_chunk_jit(carry: Carry, tols: Tols, chunk, data, rdims,
     return final
 
 
+def escalate_lanes_f64(fns: Functions, x0_batch, dims: Dims, opts: Options,
+                       res: BatchResult, data=None, rdims=None,
+                       tols64: Tols | None = None,
+                       mask=None) -> BatchResult:
+    """Re-solve a lane subset of a batched f32 solve at f64 in ONE
+    follow-up launch and merge (VERDICT r3 #5).
+
+    Default subset: lanes with exit_code <= 0 (aborted/unconverged);
+    pass ``mask`` (B,)-bool to escalate e.g. known-miss lanes instead.
+    Escalated lanes restart from their ORIGINAL x0 — the merged result
+    is what an all-f64 solve of those lanes would produce, not a warm
+    start from the f32 iterate.  Counters on escalated lanes are the
+    SUM of both attempts (total evaluations actually spent).  Merged
+    x/f are reported at f64.  The reference analogue is re-running
+    solve! at a wider element type T (solver.jl:62)."""
+    import numpy as np
+
+    ec = np.asarray(res.exit_code)
+    B = ec.shape[0]
+    sel = np.where(ec <= 0)[0] if mask is None else \
+        np.where(np.asarray(mask))[0]
+    if sel.size == 0:
+        return res._replace(escalated=jnp.zeros(B, bool))
+
+    def slice_cast(a):
+        a = np.asarray(a)[sel]
+        return a.astype(np.float64) if np.issubdtype(a.dtype, np.floating) \
+            else a
+
+    x0_sel = np.asarray(x0_batch)[sel].astype(np.float64)
+    data_sel = None if data is None else jax.tree.map(slice_cast, data)
+    rdims_sel = None if rdims is None else jax.tree.map(
+        lambda a: np.asarray(a)[sel], rdims)
+    esc = np.zeros(B, bool)
+    esc[sel] = True
+    # The whole merge stays inside the x64 scope: outside it, f64
+    # constructions silently canonicalize back to f32.
+    with jax.enable_x64():
+        # Built inside the scope: outside it an f64 Tols silently
+        # truncates to f32.
+        tols64 = tols64 if tols64 is not None else \
+            Tols.for_dtype(jnp.float64)
+        res64 = solve_batched(fns, x0_sel, dims, opts, tols64,
+                              dtype=jnp.float64, data=data_sel,
+                              rdims=rdims_sel)
+        idx = jnp.asarray(sel)
+
+        def merge(old, new):
+            return jnp.asarray(old, new.dtype).at[idx].set(new)
+
+        cnt = Counters(*(old.at[idx].add(new) for old, new in
+                         zip(res.counters, res64.counters)))
+        return BatchResult(
+            exit_code=res.exit_code.at[idx].set(res64.exit_code),
+            x=merge(res.x, res64.x), f=merge(res.f, res64.f),
+            n_iter=res.n_iter.at[idx].set(res64.n_iter),
+            counters=cnt, escalated=jnp.asarray(esc))
+
+
 def solve_batched(fns: Functions, x0_batch, dims: Dims, opts: Options,
                   tols: Tols, dtype=None, data=None, rdims=None,
-                  time_limit: float | None = None) -> BatchResult:
+                  time_limit: float | None = None,
+                  escalate_f64: bool = False,
+                  escalate_mask=None) -> BatchResult:
     """One-call batched solve of B same-shaped CNLS instances.
 
     ``fns`` must be hashable (e.g. a Functions of top-level closures).
@@ -176,15 +238,28 @@ def solve_batched(fns: Functions, x0_batch, dims: Dims, opts: Options,
     (one measured trip, then chunks sized to half the remaining budget)
     and lanes still running when the budget expires exit -11
     (:time_limit_exceeded), exactly like the single-solve driver.
+
+    ``escalate_f64``: opt-in hybrid precision — after the solve, lanes
+    with exit_code <= 0 are re-solved from their original x0 at f64 in
+    one follow-up launch (see :func:`escalate_lanes_f64`).
+    ``escalate_mask``: explicit (B,)-bool lane subset to escalate
+    instead of the exit-code rule (implies escalation).
     """
     x0_batch = jnp.asarray(x0_batch)
     dtype = dtype or x0_batch.dtype
     data = () if data is None else jax.tree.map(jnp.asarray, data)
+
+    def maybe_escalate(res):
+        if not escalate_f64 and escalate_mask is None:
+            return res
+        return escalate_lanes_f64(fns, x0_batch, dims, opts, res, data=data,
+                                  rdims=rdims, mask=escalate_mask)
+
     with matmul_precision_scope(opts):
         if time_limit is None or time_limit == float("inf"):
-            return _solve_batched_jit(x0_batch.astype(dtype), data, rdims,
-                                      fns, dims, opts, tols, None,
-                                      jnp.dtype(dtype).name)
+            return maybe_escalate(_solve_batched_jit(
+                x0_batch.astype(dtype), data, rdims, fns, dims, opts, tols,
+                None, jnp.dtype(dtype).name))
         start_time = time.time()
         carry = _init_batch_jit(x0_batch.astype(dtype), data, rdims, fns,
                                 dims, opts, jnp.dtype(dtype).name)
@@ -211,4 +286,4 @@ def solve_batched(fns: Functions, x0_batch, dims: Dims, opts: Options,
                                                              measured)
             if not any_running:
                 break
-        return finalize(carry)
+        return maybe_escalate(finalize(carry))

@@ -131,7 +131,8 @@ def fuse_families(families: dict) -> FusedSuite:
 
 
 def solve_suite_fused(families: dict, opts: Options, tols_fn,
-                      mesh=None, dtype=jnp.float32, fused=None) -> dict:
+                      mesh=None, dtype=jnp.float32, fused=None,
+                      escalate_f64: bool = False) -> dict:
     """Solve a mixed-family scenario batch in ONE fused launch;
     returns {name: BatchResult} (split back per family).
 
@@ -152,7 +153,8 @@ def solve_suite_fused(families: dict, opts: Options, tols_fn,
                                     data=fused.data, rdims=fused.rdims)
     else:
         res = solve_batched(fused.fns, fused.x0, fused.dims, opts, tols,
-                            dtype=dtype, data=fused.data, rdims=fused.rdims)
+                            dtype=dtype, data=fused.data, rdims=fused.rdims,
+                            escalate_f64=escalate_f64)
 
     out = {}
     for name, sl in fused.slices.items():
@@ -160,5 +162,7 @@ def solve_suite_fused(families: dict, opts: Options, tols_fn,
         out[name] = BatchResult(
             exit_code=res.exit_code[sl], x=res.x[sl, :nf], f=res.f[sl],
             n_iter=res.n_iter[sl],
-            counters=jax.tree.map(lambda a: a[sl], res.counters))
+            counters=jax.tree.map(lambda a: a[sl], res.counters),
+            escalated=(None if res.escalated is None
+                       else res.escalated[sl]))
     return out
