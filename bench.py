@@ -310,7 +310,7 @@ def _gm_cons(x):
         jnp.array([float(_GM_N) * 4.0 - jnp.dot(x, x)])])
 
 
-def bench_giant_m(dtype=jnp.float32, max_iter=8):
+def bench_giant_m(dtype=jnp.float32, max_iter=8, trace_dir=None):
     """GN iterations/s on a 5M-row (BASELINE spec scale) dense problem with active
     constraints at the solution (single chip; the row-sharded
     multi-chip variant runs the same code over a mesh — see
@@ -341,9 +341,11 @@ def bench_giant_m(dtype=jnp.float32, max_iter=8):
         def res_trial(x, p):
             # r(x) = phi(W@x): every line-search trial rides the ray
             # W@x + a*(W@p) — O(m) per trial instead of an O(m*n)
-            # stream of W (Functions.res_trial contract).
-            zx = W @ x
-            zp = W @ p
+            # stream of W (Functions.res_trial contract).  Both ray
+            # endpoints come from ONE W pass ((n, 2) rhs) instead of
+            # two matvecs.
+            zxp = W @ jnp.stack([x, p], axis=1)      # (m, 2)
+            zx, zp = zxp[:, 0], zxp[:, 1]
 
             def at(a):
                 u = zx + a.astype(zx.dtype) * zp
@@ -361,6 +363,10 @@ def bench_giant_m(dtype=jnp.float32, max_iter=8):
     W, Y = _GM["W"], _GM["Y"]
     x, n_iter, exit_code, t_act = gm_solve(W, Y, x0, tols)  # compile + run
     np.asarray(x)
+    if trace_dir is not None:  # op-level attribution (roofline evidence)
+        with jax.profiler.trace(trace_dir):
+            x, n_iter, exit_code, t_act = gm_solve(W, Y, x0, tols)
+            np.asarray(x)
     t0 = time.perf_counter()
     x, n_iter, exit_code, t_act = gm_solve(W, Y, x0, tols)
     np.asarray(x)

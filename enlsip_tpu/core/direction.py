@@ -248,7 +248,7 @@ def subspace_direction(rx, rx_sum, act: ActiveConstraint, active_cx_sum,
     dimA, dimJ2 = choose_subspace_dimensions(
         rx_sum, rx, active_cx_sum, t, rankJ2, rankA, F_L11_b, gn.F_J2,
         gn.JQ1, prev, restart, dims)
-    p, b, d = sub_search_direction(act, rx, F_A, F_L11_b, gn.F_J2,
+    p, b, d, _ = sub_search_direction(act, rx, F_A, F_L11_b, gn.F_J2,
                                    gn.JQ1, t, rankA, dimA, dimJ2,
                                    jnp.int32(-1), dims)
     code = jnp.where((dimA == rankA) & (dimJ2 == rankJ2), 1, -1)

@@ -190,7 +190,7 @@ def _ws_round1(mask, A, cx, rx, J, gf, index_del_in, dims: Dims,
     # factorizations are full-rank.
     full_rank = (t == gn.rankA) & (gn.rankJ2 == jnp.minimum(rd.m, rd.n - gn.rankA))
     lam2 = second_mult_estimate(F_A, gn.JQ1, rx, J, gn.p, t, act, dims,
-                                scaling)
+                                scaling, F_J2=gn.F_J2, y_gn=gn.y)
     lam_sel = jnp.where(full_rank, lam2, lam)
     s2 = check_constraint_deletion(rd.q, lam2, act.valid, t, scaling,
                                    act.diag_scale, jnp.asarray(0.0, rx.dtype))
@@ -273,22 +273,26 @@ def _working_set_round(mask, A, cx, rx, J, gf, index_del_in, dims: Dims,
     """WRKSET (:686-795), see module docstring for the branch analysis."""
     scaling = opts.scaling
     eps_rank = tols.eps_rank
-    view, t, act, F_A, rankA = _factor_stage1(mask, A, cx, gf, dims, scaling,
-                                              eps_rank)
-    F_L11 = lax.cond(rankA < t,
-                     lambda: factor_l11(F_A, act, t),
-                     lambda: zeros_factor_l11(dims, F_A.R.dtype))
-    r1 = _ws_round1(mask, A, cx, rx, J, gf, index_del_in, dims, scaling,
-                    tols, view, t, act, F_A, rankA, F_L11, rdims,
-                    opts.tsqr_axis, opts.tall_qr, stall_hint,
-                    opts.rank_deficient_deletion)
+    with jax.named_scope("factor_stage1"):
+        view, t, act, F_A, rankA = _factor_stage1(mask, A, cx, gf, dims,
+                                                  scaling, eps_rank)
+        F_L11 = lax.cond(rankA < t,
+                         lambda: factor_l11(F_A, act, t),
+                         lambda: zeros_factor_l11(dims, F_A.R.dtype))
+    with jax.named_scope("ws_round1"):
+        r1 = _ws_round1(mask, A, cx, rx, J, gf, index_del_in, dims, scaling,
+                        tols, view, t, act, F_A, rankA, F_L11, rdims,
+                        opts.tsqr_axis, opts.tall_qr, stall_hint,
+                        opts.rank_deficient_deletion)
 
-    (mask_o, view_o, t_o, act_o, F_A_o, F_L11_o, gn_o, lam_o, deleted,
-     index_del_o) = lax.cond(
-        r1.do2,
-        lambda _: _ws_round2(r1, mask, A, cx, rx, J, gf, dims, scaling,
-                             eps_rank, rdims, opts.tsqr_axis, opts.tall_qr),
-        lambda _: _ws_keep(r1, mask), None)
+    with jax.named_scope("ws_round2"):
+        (mask_o, view_o, t_o, act_o, F_A_o, F_L11_o, gn_o, lam_o, deleted,
+         index_del_o) = lax.cond(
+            r1.do2,
+            lambda _: _ws_round2(r1, mask, A, cx, rx, J, gf, dims, scaling,
+                                 eps_rank, rdims, opts.tsqr_axis,
+                                 opts.tall_qr),
+            lambda _: _ws_keep(r1, mask), None)
     return WorkingSetRound(mask=mask_o, view=view_o, t=t_o, act=act_o,
                            F_A=F_A_o, F_L11=F_L11_o, gn=gn_o, lam=lam_o,
                            grad_res=r1.grad_res, deleted=deleted,
@@ -340,19 +344,21 @@ def iterate_body(carry: Carry, fns: Functions, dims: Dims, opts: Options,
     x_diff_prev = jnp.linalg.norm(carry.prev.x - x)
     stall_hint = (carry.nb_iter >= 2) & \
         (x_diff_prev < tols.eps_x * (1.0 + jnp.linalg.norm(x)))
-    wsr = _working_set_round(carry.active_mask, A, cx, rx, J, gf,
-                             carry.index_del, dims, opts, tols, rdims,
-                             stall_hint)
+    with jax.named_scope("wrkset"):
+        wsr = _working_set_round(carry.active_mask, A, cx, rx, J, gf,
+                                 carry.index_del, dims, opts, tols, rdims,
+                                 stall_hint)
     t = wsr.t
     act_idx = wsr.view.active_list[:dims.tmax]
     active_cx_sum = jnp.sum(jnp.where(wsr.act.valid, cx[act_idx] ** 2, 0.0))
 
     # --- ANALYS ----------------------------------------------------------
-    ana = search_direction_analysis(
-        fns.res, fns.cons, x, rx, cx, wsr.act, active_cx_sum, wsr.gn,
-        wsr.F_A, wsr.F_L11, wsr.view, t, wsr.lam, carry.nb_iter, carry.prev,
-        carry.restart, jnp.asarray(False), wsr.deleted, dims, opts.scaling,
-        opts.second_derivatives, rdims)
+    with jax.named_scope("analys"):
+        ana = search_direction_analysis(
+            fns.res, fns.cons, x, rx, cx, wsr.act, active_cx_sum, wsr.gn,
+            wsr.F_A, wsr.F_L11, wsr.view, t, wsr.lam, carry.nb_iter,
+            carry.prev, carry.restart, jnp.asarray(False), wsr.deleted,
+            dims, opts.scaling, opts.second_derivatives, rdims)
     return _post_direction(carry, fns, dims, opts, tols, wsr, ana,
                            active_cx_sum, rx_sum_start, cx_sum_start, rdims)
 
@@ -380,19 +386,22 @@ def _post_direction(carry: Carry, fns: Functions, dims: Dims, opts: Options,
     else:  # black-box default: bit-identical to res at the trial point
         res_trial = lambda xx, pp: (
             lambda a: fns.res(xx + a.astype(xx.dtype) * pp))
-    sl = compute_steplength(
-        res_trial, fns.cons, x, rx, J, cx, A, wsr.act, wsr.view, t, ana.p,
-        ana.dimA, wsr.gn.rankJ2, ana.code, wsr.index_del, carry.prev,
-        carry.K, wsr.mask, dims, opts.weight_code, counters,
-        opts.linesearch_max_refine, opts.gac_max_halvings,
-        opts.eucmod_max_passes, opts.scaling,
-        alive=carry.exit_code == 0)
+    with jax.named_scope("stplng"):
+        sl = compute_steplength(
+            res_trial, fns.cons, x, rx, J, cx, A, wsr.act, wsr.view, t,
+            ana.p, ana.dimA, wsr.gn.rankJ2, ana.code, wsr.index_del,
+            carry.prev, carry.K, wsr.mask, dims, opts.weight_code, counters,
+            opts.linesearch_max_refine, opts.gac_max_halvings,
+            opts.eucmod_max_passes, opts.scaling,
+            alive=carry.exit_code == 0)
     counters = sl.counters
 
     # --- step + new point --------------------------------------------
-    x_new = x + sl.alpha * ana.p
-    rx_new, J_new, cx_new, A_new, counters = new_point(fns, x_new, counters)
-    gf_new = J_new.T @ rx_new
+    with jax.named_scope("new_point"):
+        x_new = x + sl.alpha * ana.p
+        rx_new, J_new, cx_new, A_new, counters = new_point(fns, x_new,
+                                                           counters)
+        gf_new = J_new.T @ rx_new
     rx_sum_new = jnp.dot(rx_new, rx_new)
     restart_new = ana.error_code < 0
 

@@ -108,10 +108,26 @@ def j2_transform_d(F_J2: "FactorJ2", JQ1: jax.Array, p1n: jax.Array,
     """d = Q3^T (-J1 p1 - rx) (J1 p1 == JQ1 @ p1n since p1n is zero
     past the leading slots).  Dispatches on the factorization kind:
     direct CPQR or the two-stage TSQR (giant-m row-sharded path)."""
-    from ..ops.tsqr import CholQRF, TSQRF, qt_apply_cholqr, qt_apply_tsqr
+    from ..ops.tsqr import (CholQRF, TSQRF, qt_apply_cholqr_from_projection,
+                            qt_apply_tsqr)
+    if isinstance(F_J2.f, CholQRF) and F_J2.f.G is not None:
+        # Small-side algebra on the kept Gram (f.M is JQ1 on this
+        # path): with v = -(JQ1 p1n) - rx,
+        #   M^T v  = -(G p1n) - JQ1^T rx          ((n, n) matvec + ONE
+        #                                           tall stream)
+        #   ||v||^2 = p1n^T G p1n + 2 p1n^T (JQ1^T rx) + ||rx||^2
+        # — the (m,) vector v is never materialized, saving two full
+        # (m, n) streams per GN direction on giant-m AND keeping the
+        # rare subspace branch free of (m, n)-broadcast operands (XLA
+        # hoists those out of the cond; benchmarks/giant_m_profile.py).
+        G = F_J2.f.G
+        jtrx = F_J2.f.M.T @ rx                       # (n,) one tall stream
+        Gp = G @ p1n
+        y = -Gp - jtrx
+        v_sq = jnp.maximum(p1n @ Gp + 2.0 * (p1n @ jtrx) + jnp.dot(rx, rx),
+                           0.0)
+        return qt_apply_cholqr_from_projection(F_J2.f, y, v_sq)
     v = -(JQ1 @ p1n) - rx
-    if isinstance(F_J2.f, CholQRF):
-        return qt_apply_cholqr(F_J2.f, v)
     if isinstance(F_J2.f, TSQRF):
         return qt_apply_tsqr(F_J2.f, v)
     return qt_apply(F_J2.f, v)
@@ -125,6 +141,7 @@ class GNResult(NamedTuple):
     rankJ2: jax.Array
     F_J2: FactorJ2
     JQ1: jax.Array     # (m, n)
+    y: jax.Array       # (n,) pre-Q1 coefficients: p == Q1 @ y
 
 
 def gather_active(A: jax.Array, cx: jax.Array, view: WorkingView, dims: Dims,
@@ -207,19 +224,35 @@ def first_mult_estimate(F_A: FactorA, act: ActiveConstraint, t: jax.Array,
 
 def second_mult_estimate(F_A: FactorA, JQ1: jax.Array, rx: jax.Array,
                          J: jax.Array, p_gn: jax.Array, t: jax.Array,
-                         act: ActiveConstraint, dims: Dims, scaling: bool
-                         ) -> jax.Array:
+                         act: ActiveConstraint, dims: Dims, scaling: bool,
+                         F_J2: FactorJ2 | None = None,
+                         y_gn: jax.Array | None = None) -> jax.Array:
     """LEAEST (enlsip_functions.jl:514-537): solve A^T lam = J1^T (rx + J p).
 
     Note the reference calls this with its *default* eps_rank = sqrt(eps)
     (:523), not the solver option; we reproduce that.  (Only called on
-    the full-rank path, where t == rankA <= ka.)"""
+    the full-rank path, where t == rankA <= ka.)
+
+    ``F_J2``/``y_gn``: optional GN products for the CholQR tall path —
+    with p == Q1 y and the Gram G = JQ1^T JQ1 already held by the
+    factorization, J1^T(rx + J p) == (JQ1^T rx + G y)[:t], turning the
+    two (m, n)-buffer streams (J @ p and JQ1^T v) into one (the
+    JQ1^T rx projection, CSE-shared with the d-vector's) plus an (n, n)
+    matvec (benchmarks/giant_m_profile.py)."""
+    from ..ops.tsqr import CholQRF
     l, ka = dims.l, dims.ka
     eps_rank = jnp.sqrt(jnp.finfo(rx.dtype).eps)
     prankA = pseudo_rank(F_A.diag, t, eps_rank)
     cols = jnp.arange(dims.n) < t
-    J1t = jnp.where(cols[:, None], JQ1.T, 0.0)  # (n, m) rows >= t zero
-    b_full = J1t @ (rx + J @ p_gn)              # (n,)
+    if F_J2 is not None and y_gn is not None and \
+            isinstance(F_J2.f, CholQRF) and F_J2.f.G is not None:
+        b_raw = F_J2.f.M.T @ rx + F_J2.f.G @ y_gn
+    else:
+        # J1^T v with J1 = first t cols of JQ1: mask the (n,) RESULT,
+        # not a materialized (n, m) operand copy (an (m, n) stream per
+        # call on giant-m — see benchmarks/giant_m_profile.py).
+        b_raw = JQ1.T @ (rx + J @ p_gn)
+    b_full = jnp.where(cols, b_raw, 0.0)  # (n,)
     v = solve_upper(F_A.R[:ka, :ka], b_full[:ka], prankA)
     lam = jnp.zeros(l, rx.dtype).at[:ka].set(v)[invperm(F_A.perm)]
     if scaling:
@@ -268,8 +301,9 @@ def sub_search_direction(act: ActiveConstraint, rx: jax.Array, F_A: FactorA,
     kk = min(dims.m, n)
     dp2 = solve_upper(F_J2.R[:, :kk], d[:kk], dimJ2)  # (kk,)
     p2n = jnp.zeros(n, rx.dtype).at[F_J2.perm[:kk]].set(dp2)
-    p = q_apply(F_A.f, p1n + p2n)
-    return p, b, d
+    y = p1n + p2n
+    p = q_apply(F_A.f, y)
+    return p, b, d, y
 
 
 def gn_search_direction(J: jax.Array, rx: jax.Array, act: ActiveConstraint,
@@ -282,8 +316,8 @@ def gn_search_direction(J: jax.Array, rx: jax.Array, act: ActiveConstraint,
     rd = rdims_or(rdims, dims)
     JQ1 = right_q_apply(F_A.f, J)
     cols = jnp.arange(n)
-    J2buf = jnp.where(cols[None, :] >= rankA, JQ1, 0.0)
-    rows = J2buf.shape[0]
+    live_cols = cols >= rankA
+    rows = JQ1.shape[0]
     # Only n - rankA columns are live; skip the no-op steps.
     if tsqr_axis is not None or (rows >= 32 * n and rows >= 4096):
         # Tall panel (giant-m; single chip or row-sharded): a two-stage
@@ -293,15 +327,21 @@ def gn_search_direction(J: jax.Array, rx: jax.Array, act: ActiveConstraint,
         if tall_qr == "cholqr":
             # MXU-speed Gram + shifted Cholesky, implicit Q; sharded
             # rows contract through ONE (n, n) psum (ops/tsqr.CholQRF).
+            # JQ1 is passed UNMASKED; dead columns are zeroed on the
+            # (n, n) Gram instead (bitwise identical, saves a full
+            # (m, n) masked-copy round trip per factorization).
             from ..ops.tsqr import cholqr_cpqr
-            F_J2 = FactorJ2(f=cholqr_cpqr(J2buf, nsteps=n - rankA))
+            F_J2 = FactorJ2(f=cholqr_cpqr(JQ1, nsteps=n - rankA,
+                                          col_live=live_cols))
         else:
+            J2buf = jnp.where(live_cols[None, :], JQ1, 0.0)
             # Householder first stage: local/whole thin QR + pivoted QR
             # of the stacked R factors.
             from ..ops.tsqr import tsqr_cpqr
             F_J2 = FactorJ2(f=tsqr_cpqr(J2buf, nsteps=n - rankA,
                                         axis=tsqr_axis))
     else:
+        J2buf = jnp.where(live_cols[None, :], JQ1, 0.0)
         F_J2 = FactorJ2(f=cpqr_blocked(J2buf, nsteps=n - rankA))
     # Semantic diag length (pseudo_rank's sqrt(len) tolerance factor
     # must see the lane's true dimensions; padded columns have zero
@@ -309,9 +349,10 @@ def gn_search_direction(J: jax.Array, rx: jax.Array, act: ActiveConstraint,
     len_diag = jnp.minimum(rd.m, rd.n - rankA)
     rankJ2 = pseudo_rank(F_J2.diag, len_diag, eps_rank)
     code = jnp.where(rankA == t, 1, -1).astype(jnp.int32)
-    p, b, d = sub_search_direction(act, rx, F_A, F_L11, F_J2, JQ1, t, rankA,
-                                   rankA, rankJ2, code, dims)
-    return GNResult(p=p, b=b, d=d, rankA=rankA, rankJ2=rankJ2, F_J2=F_J2, JQ1=JQ1)
+    p, b, d, y = sub_search_direction(act, rx, F_A, F_L11, F_J2, JQ1, t,
+                                      rankA, rankA, rankJ2, code, dims)
+    return GNResult(p=p, b=b, d=d, rankA=rankA, rankJ2=rankJ2, F_J2=F_J2,
+                    JQ1=JQ1, y=y)
 
 
 def hessian_contractions(res_fn: Callable, cons_fn: Callable, x: jax.Array,

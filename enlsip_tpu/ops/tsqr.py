@@ -151,7 +151,7 @@ class CholQRF:
     restores the Householder path.
     """
 
-    def __init__(self, M, R1, f2: CPQRF, R2=None):
+    def __init__(self, M, R1, f2: CPQRF, R2=None, G=None):
         self.M = M        # (m, n) the factored buffer (not copied)
         self.R1 = R1      # (n, n) upper, dead columns zeroed
         self.f2 = f2      # CPQR of R2 @ R1 (the refined factor)
@@ -161,9 +161,15 @@ class CholQRF:
         # solving with the rounded product fl(R2 @ R1), whose error the
         # cond^2 amplification would reintroduce.
         self.R2 = R2
+        # UNMASKED Gram M^T M — free to keep (it was computed anyway),
+        # and it lets consumers replace (m,)-length streams with (n, n)
+        # matvecs: M^T (M y) == G y exactly in real arithmetic, so e.g.
+        # the GN d-vector and the LEAEST rhs never re-stream the tall
+        # buffer (benchmarks/giant_m_profile.py attribution).
+        self.G = G
 
     def tree_flatten(self):
-        return (self.M, self.R1, self.f2, self.R2), None
+        return (self.M, self.R1, self.f2, self.R2, self.G), None
 
     @classmethod
     def tree_unflatten(cls, aux, children):
@@ -182,7 +188,7 @@ class CholQRF:
         return self.f2.diag[: self.M.shape[1]]
 
 
-def cholqr_cpqr(M: jax.Array, nsteps) -> CholQRF:
+def cholqr_cpqr(M: jax.Array, nsteps, col_live=None) -> CholQRF:
     """Column-pivoted QR of a tall (m, n) buffer via shifted CholeskyQR
     (implicit Q) + pivoted QR of R1.  Works transparently row-sharded:
     the Gram GEMM contracts the sharded axis (one psum).
@@ -204,7 +210,17 @@ def cholqr_cpqr(M: jax.Array, nsteps) -> CholQRF:
     recommended in docs/tutorial.md's giant-m section)."""
     from jax.scipy.linalg import solve_triangular
     n = M.shape[1]
-    G = M.T @ M                                     # (n, n), MXU speed
+    G_raw = M.T @ M                                 # (n, n), MXU speed
+    G = G_raw
+    if col_live is not None:
+        # Dead-column masking moved to the SMALL side: the live-live
+        # block of G is bitwise identical whether the (m, n) buffer or
+        # the (n, n) Gram is masked, so passing the UNMASKED buffer
+        # (e.g. JQ1) avoids materializing a second (m, n) masked copy
+        # per factorization (a full HBM round trip on giant-m —
+        # benchmarks/giant_m_profile.py).  qt_apply_cholqr already
+        # masks its (n,) projection by R1-diag liveness.
+        G = jnp.where(col_live[None, :] & col_live[:, None], G, 0.0)
     dG = jnp.diagonal(G)
     live = dG > 0.0
     eps = jnp.finfo(M.dtype).eps
@@ -220,7 +236,8 @@ def cholqr_cpqr(M: jax.Array, nsteps) -> CholQRF:
     R1 = jnp.where(live[None, :] & jnp.isfinite(R1), R1, 0.0)
     if jnp.finfo(M.dtype).eps > jnp.finfo(jnp.float64).eps:
         # f32: single pass (see class docstring for the envelope).
-        return CholQRF(M=M, R1=R1, f2=cpqr_blocked(R1, nsteps=nsteps))
+        return CholQRF(M=M, R1=R1, f2=cpqr_blocked(R1, nsteps=nsteps),
+                       G=G_raw)
     # --- f64 refinement pass (implicit CholeskyQR2) --------------------
     # G_Q = R1^{-T} G R1^{-1} is the Gram of the implicit Q; its
     # Cholesky factor R2 measures (and removes) the orthogonality loss.
@@ -242,16 +259,29 @@ def cholqr_cpqr(M: jax.Array, nsteps) -> CholQRF:
     # Stage-2 pivoting/ranks read the refined product; the implicit-Q
     # application composes the two factors (see CholQRF.R2).
     Rr = jnp.where(live[None, :], R2 @ R1, 0.0)
-    return CholQRF(M=M, R1=R1, f2=cpqr_blocked(Rr, nsteps=nsteps), R2=R2)
+    return CholQRF(M=M, R1=R1, f2=cpqr_blocked(Rr, nsteps=nsteps), R2=R2,
+                   G=G_raw)
+
+
+def qt_apply_cholqr_from_projection(f: CholQRF, y: jax.Array,
+                                    v_sq: jax.Array) -> jax.Array:
+    """qt_apply_cholqr given the projection y = M^T v and ||v||^2
+    ALREADY computed — lets callers who can form both from small-side
+    quantities (y = G a + M^T b combinations) skip streaming the tall
+    buffer entirely."""
+    return _qt_cholqr(f, y, v_sq)
 
 
 def qt_apply_cholqr(f: CholQRF, v: jax.Array) -> jax.Array:
     """Q^T v with the same (m,) embedding contract as qt_apply_tsqr:
     leading n entries are the stage-2 coefficients, entry [n] carries
     the orthogonal-complement norm (sum(out**2) == ||v||**2)."""
+    return _qt_cholqr(f, f.M.T @ v, jnp.sum(v * v))
+
+
+def _qt_cholqr(f: CholQRF, y: jax.Array, v_sq: jax.Array) -> jax.Array:
     from jax.scipy.linalg import solve_triangular
     m, n = f.M.shape
-    y = f.M.T @ v                                   # (n,) (psum if sharded)
     # R1^T w = y on the live columns; dead rows/cols of R1 are zero, so
     # solve on a unit-diagonal-patched copy and re-zero.
     live = jnp.abs(jnp.diagonal(f.R1)) > 0.0
@@ -265,9 +295,8 @@ def qt_apply_cholqr(f: CholQRF, v: jax.Array) -> jax.Array:
         w = solve_triangular(R2p, w, trans=1, lower=False)
         w = jnp.where(live, w, 0.0)
     u = qt_apply(f.f2, w)                           # (n,) replicated
-    v2 = jnp.sum(v * v)
-    rest2 = jnp.maximum(v2 - jnp.sum(w * w), 0.0)
-    out = jnp.zeros(m, v.dtype)
+    rest2 = jnp.maximum(v_sq - jnp.sum(w * w), 0.0)
+    out = jnp.zeros(m, y.dtype)
     out = out.at[:n].set(u[:n])
     out = out.at[n].set(jnp.sqrt(rest2))
     return out

@@ -70,7 +70,9 @@ def main():
             return -(1.0 + 0.1 * (1.0 - jnp.tanh(u) ** 2))[:, None] * W
 
         def res_trial(x, p):
-            zx, zp = W @ x, W @ p
+            # one W pass for both ray endpoints ((n, 2) rhs)
+            zxp = W @ jnp.stack([x, p], axis=1)
+            zx, zp = zxp[:, 0], zxp[:, 1]
 
             def at(a):
                 u = zx + a.astype(zx.dtype) * zp
