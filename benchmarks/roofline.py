@@ -116,6 +116,9 @@ def measure_batched_qr(B=4096, rows=8, cols=8):
 
 
 MXU_F32_TFLOPS = 66.0   # v5e f32-via-bf16-passes matmul class
+# Median sustained rate of the profiled giant-m leaf ops (layout-tiled
+# (m, n) reads with small outputs; benchmarks/giant_m_profile.py).
+TRACE_SUSTAINED_GBS = 555.0
 VPU_F32_TFLOPS = 3.9    # v5e vector-unit f32 class (non-MXU elementwise)
 
 
@@ -129,21 +132,33 @@ def measure_giant_m():
 
     The bound counts mandatory HBM streams of the (m, n) f32 buffer
     class (S = m*n*4 bytes each) at the v5e stream rate plus the two
-    mandatory m*n^2 GEMMs (J@Q1 panels, Gram) on the MXU.  With the
-    directional-trial hook (Functions.res_trial, r = phi(W@x)) the
-    line-search trials ride cached (m,) rays, so the residual class
-    costs 3 W streams per iteration (new_point eval + the zx/zp ray
-    setup) regardless of the trial count; the trials themselves are
-    O(m) vector passes, accounted at vector size:
+    mandatory m*n^2 GEMMs (J@Q1 panels, Gram) on the MXU.  The
+    round-4 op-level trace (benchmarks/giant_m_profile.py) verified
+    this inventory leaf-by-leaf and drove three reductions (Gram-reuse
+    small-side d/LEAEST, Gram-side dead-column masking, one-pass ray
+    setup), leaving TEN mandatory (m, n)-class streams:
 
-      res class        3 streams (new_point; zx = W@x; zp = W@p)
+      res eval         1 (new_point: W read; gf reduce fuses into jac)
+      ray setup        1 (zx,zp from ONE W pass, (n, 2) rhs)
       psi trials       r_i * 3 m-vector passes (counter-derived; cheap)
       jac eval         2 (W read + J write)
       J@Q1 compact-WY  3 (J read + JQ1 write + (m,nb) intermediate)
       Gram (cholqr)    1 (JQ1 read)        + 2mn^2 flops
-      qt_apply d       1 (JQ1 read)
-      Jp = J@p         1;  gf = J^T rx     1
+      jtrx = JQ1^T rx  1 (JQ1 read; d-vector AND LEAEST ride it + the
+                          kept (n, n) Gram — no other tall streams)
+      Jp = J@p         1
       J@Q1 flops       2mn^2 (one panel pass at t<=50)
+
+    Two bounds are printed: the ideal-machine bound (peak stream rate)
+    and the TRACE-CALIBRATED bound at the sustained rate the profiled
+    leaf ops actually reach for these access patterns (478-690 GB/s,
+    median ~555 — layout-tiled (m, n) reads with (1,) / (n,) outputs
+    do not hit the pure-stream class rate on v5e).  Known residual
+    artifacts the trace attributes but this model excludes: one
+    col-major layout copy feeding the conv-emitter WY GEMM (~6.9 ms)
+    and one cond-boundary broadcast materialization + re-read
+    (~6.7 ms) — the gap between measured and the calibrated bound is
+    these plus while/cond scheduling overhead.
     """
     import bench
     from enlsip_tpu.core.driver import Functions, init_carry, run_chunk
@@ -170,7 +185,8 @@ def measure_giant_m():
                 return -(1.0 + 0.1 * (1.0 - jnp.tanh(z) ** 2))[:, None] * W
 
             def res_trial(x, p):
-                zx, zp = W @ x, W @ p
+                zxp = W @ jnp.stack([x, p], axis=1)  # one W pass
+                zx, zp = zxp[:, 0], zxp[:, 1]
 
                 def at(a):
                     u = zx + a.astype(zx.dtype) * zp
@@ -199,12 +215,17 @@ def measure_giant_m():
     res_per_iter = (r4 - r1) / iters
 
     S = m * n * 4                                  # one (m, n) stream
-    streams = 3 + 2 + 3 + 1 + 1 + 1 + 1           # see docstring
+    streams = 1 + 1 + 2 + 3 + 1 + 1 + 1           # see docstring
     bound_bytes = streams * S + res_per_iter * 3 * m * 4
     bound_flops = 2 * (2 * m * n * n)              # J@Q1 + Gram
     bound_s = bound_bytes / (HBM_STREAM_GBS * 1e9) \
         + bound_flops / (MXU_F32_TFLOPS * 1e12)
-    return marginal, bound_s, streams, res_per_iter
+    # Trace-calibrated: the profiled leaf ops sustain ~555 GB/s median
+    # for these access patterns (see docstring), not the pure-stream
+    # class rate.
+    bound_cal_s = bound_bytes / (TRACE_SUSTAINED_GBS * 1e9) \
+        + bound_flops / (MXU_F32_TFLOPS * 1e12)
+    return marginal, bound_s, bound_cal_s, streams, res_per_iter
 
 
 def main():
@@ -243,11 +264,13 @@ def main():
           f"{t_vpu*1e6:6.1f} us ({t_vpu/dt_pal*100:4.1f}% attained; "
           f"pivot argmax/select overhead dominates the flop count)")
 
-    marginal, bound, streams, rpi = measure_giant_m()
+    marginal, bound, bound_cal, streams, rpi = measure_giant_m()
     print(f"giant-m (5Mx100): marginal {marginal*1e3:7.1f} ms/iter | "
-          f"stream+MXU bound {bound*1e3:6.1f} ms "
+          f"ideal stream+MXU bound {bound*1e3:6.1f} ms | "
+          f"trace-calibrated bound {bound_cal*1e3:6.1f} ms "
           f"({streams:.0f} buffer streams, {rpi:.1f} res evals/iter) | "
-          f"measured/bound = {marginal/bound:.2f}x")
+          f"measured/ideal = {marginal/bound:.2f}x, "
+          f"measured/calibrated = {marginal/bound_cal:.2f}x")
 
 
 if __name__ == "__main__":
