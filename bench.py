@@ -248,7 +248,21 @@ def bench_hetero_suite(per_family=512, dtype=jnp.float32, names=None,
             matched.append(np.abs(fvals[name] - fam.fstar)
                            < 1e-3 * max(1.0, abs(fam.fstar)))
     match_rate = float(np.mean(np.concatenate(matched))) if matched else None
-    return B / dt, match_rate
+    return B / dt, match_rate, (fused, opts, dtype)
+
+
+def hetero_peak_memory_gb(ctx) -> float:
+    """XLA's own accounting of the fused-solve executable's peak device
+    memory (args + outputs + temps at the high-water point) — the
+    memory-feasibility evidence for the 100k-lane design point
+    (device.memory_stats() is unavailable through the axon tunnel)."""
+    fused, opts, dtype = ctx
+    from enlsip_tpu.parallel.batch import _solve_batched_jit
+    lowered = _solve_batched_jit.lower(
+        fused.x0, fused.data, fused.rdims, fused.fns, fused.dims, opts,
+        _tols(dtype), None, jnp.dtype(dtype).name)
+    ma = lowered.compile().memory_analysis()
+    return round(ma.peak_memory_in_bytes / 2**30, 3)
 
 
 def bench_hetero_100k(dtype=jnp.float32):
@@ -256,13 +270,14 @@ def bench_hetero_100k(dtype=jnp.float32):
     lanes (BASELINE configs[3] names 1M lanes across v5e-16 — 62.5k/chip;
     the 1M-lane 8-device layout is dryrun-proven in __graft_entry__
     layout 5).  Returns (solves/s, match_rate, peak_hbm_gb)."""
-    rate, match = bench_hetero_suite(per_family=20_000, dtype=dtype)
-    peak = None
+    rate, match, ctx = bench_hetero_suite(per_family=20_000, dtype=dtype)
     try:
         stats = jax.devices()[0].memory_stats()
-        peak = round(stats.get("peak_bytes_in_use", 0) / 2**30, 2)
-    except Exception:  # pragma: no cover - transport-dependent
-        pass
+        peak = round((stats or {}).get("peak_bytes_in_use", 0) / 2**30, 2)
+        if not peak:
+            raise ValueError("no live stats")
+    except Exception:  # transport-dependent: fall back to XLA's account
+        peak = hetero_peak_memory_gb(ctx)
     return rate, match, peak
 
 
@@ -270,10 +285,11 @@ def bench_hetero_newton(per_family=512, dtype=jnp.float32):
     """The HARD hetero regime: second_derivatives=True including hs42,
     whose perturbed lanes genuinely request fused-Newton steps under
     per-lane RDims (the path tests/test_hetero.py exercises at B=8)."""
-    return bench_hetero_suite(
+    rate, match, _ = bench_hetero_suite(
         per_family=per_family, dtype=dtype,
         names=["hs14", "hs65", "hs26", "hs53", "hs79", "hs42"],
         second_derivatives=True)
+    return rate, match
 
 
 # --------------------------- giant-m (module-level for fn identity) ---
@@ -443,7 +459,7 @@ def main():
         (ode_rate, ode_opt, ode_strict, ode_breakdown, ode_strict_esc,
          ode_n_esc) = None, str(e)[:80], None, None, None, None
     try:
-        het_rate, het_match = bench_hetero_suite()
+        het_rate, het_match, _ = bench_hetero_suite()
     except Exception as e:  # pragma: no cover
         het_rate, het_match = None, str(e)[:80]
     try:
@@ -566,6 +582,10 @@ def main():
                 "proxy below what separate hosts would show.",
             "cr5000": "matmul_precision='bfloat16' opt-in recovers the "
                       "f32-default regression; see cr5000_* fields.",
+            "hetero_100k_peak_hbm_gb":
+                "device.memory_stats() when live; otherwise XLA's "
+                "executable memory_analysis().peak_memory_in_bytes "
+                "(args + outputs + temps at the high-water point).",
         },
     }
     print(json.dumps(out))
