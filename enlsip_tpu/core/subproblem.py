@@ -314,7 +314,7 @@ def gn_search_direction(J: jax.Array, rx: jax.Array, act: ActiveConstraint,
     """GNSRCH (enlsip_functions.jl:206-234)."""
     n = dims.n
     rd = rdims_or(rdims, dims)
-    JQ1 = right_q_apply(F_A.f, J)
+    JQ1 = right_q_apply(F_A.f, J, allow_pallas=tsqr_axis is None)
     cols = jnp.arange(n)
     live_cols = cols >= rankA
     rows = JQ1.shape[0]

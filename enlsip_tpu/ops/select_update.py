@@ -50,3 +50,26 @@ def set_col(A: jax.Array, k: jax.Array, col: jax.Array) -> jax.Array:
 def set_row(A: jax.Array, i: jax.Array, row: jax.Array) -> jax.Array:
     """``A.at[i].set(row)`` for a 2-D array and traced scalar ``i``."""
     return jnp.where(jnp.arange(A.shape[0])[:, None] == i, row[None, :], A)
+
+
+def set_col_dus(A: jax.Array, k: jax.Array, col: jax.Array) -> jax.Array:
+    """``A.at[:, k].set(col)`` via ``dynamic_update_slice``.
+
+    The where-based :func:`set_col` streams the WHOLE matrix per call —
+    right for the small buffers the batched solver touches (and immune
+    to the scatter miscompile above, which dus does not share: it is a
+    different HLO op with no index-monotonicity flags).  For LARGE
+    unbatched matrices (the geqp3 panel loop's 100 MB working sets) the
+    full-matrix pass dominates the step cost; dus writes one column in
+    place inside the loop carry."""
+    k = jnp.asarray(k)
+    return jax.lax.dynamic_update_slice(A, col[:, None],
+                                        (jnp.zeros((), k.dtype), k))
+
+
+def set_row_dus(A: jax.Array, i: jax.Array, row: jax.Array) -> jax.Array:
+    """``A.at[i].set(row)`` via ``dynamic_update_slice`` (see
+    :func:`set_col_dus`)."""
+    i = jnp.asarray(i)
+    return jax.lax.dynamic_update_slice(A, row[None, :],
+                                        (i, jnp.zeros((), i.dtype)))

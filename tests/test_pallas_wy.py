@@ -1,0 +1,75 @@
+"""Fused WY right-apply kernel (ops/pallas_wy.py): parity with the
+plain compact-WY GEMM chain, block-divisor logic, and dispatch gate.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from enlsip_tpu.ops import blocked_qr as bq
+from enlsip_tpu.ops.pallas_wy import (_row_block, _wy_kernel, use_wy_pallas,
+                                      wy_right_apply)
+
+
+def _ref(J, V, T):
+    return J - ((J @ V) @ T) @ V.T
+
+
+def test_wy_kernel_parity_interpret():
+    from jax.experimental import pallas as pl
+    rng = np.random.default_rng(0)
+    rows, n, k = 4096, 100, 50
+    f = bq.cpqr_blocked(jnp.asarray(rng.normal(size=(n, k))))
+    V, T = f.V, f.T[0]
+    J = jnp.asarray(rng.normal(size=(rows, n)))
+    rb = _row_block(rows)
+    out = pl.pallas_call(
+        _wy_kernel,
+        grid=(rows // rb,),
+        in_specs=[pl.BlockSpec((rb, n), lambda i: (i, 0)),
+                  pl.BlockSpec((n, k), lambda i: (0, 0)),
+                  pl.BlockSpec((k, k), lambda i: (0, 0))],
+        out_specs=pl.BlockSpec((rb, n), lambda i: (i, 0)),
+        out_shape=jax.ShapeDtypeStruct((rows, n), J.dtype),
+        interpret=True,
+    )(J, V, T)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(_ref(J, V, T)),
+                               rtol=1e-12, atol=1e-12)
+
+
+def test_row_block_divisors():
+    assert _row_block(5_000_000) == 2000
+    assert _row_block(4096) == 2048
+    assert _row_block(8 * 3) == 24
+    assert _row_block(100) is None   # not a multiple of 8
+    assert _row_block(8 * 251) == 2008   # fits in one max-size block
+    assert _row_block(8 * 1009) == 8     # prime tail: smallest block
+
+
+def test_dispatch_gate():
+    # CPU backend: never dispatches (the conftest forces cpu).
+    assert not use_wy_pallas(5_000_000, 100, 50, jnp.float32)
+    # Shape/dtype legs of the gate, independent of backend:
+    from enlsip_tpu.ops import pallas_wy as pw
+    orig = jax.default_backend
+    try:
+        jax.default_backend = lambda: "tpu"
+        assert pw.use_wy_pallas(5_000_000, 100, 50, jnp.float32)
+        assert not pw.use_wy_pallas(5_000_000, 100, 50, jnp.float64)
+        assert not pw.use_wy_pallas(2000, 100, 50, jnp.float32)  # not tall
+        assert not pw.use_wy_pallas(5_000_001, 100, 50, jnp.float32)  # %8
+    finally:
+        jax.default_backend = orig
+
+
+def test_right_q_apply_unchanged_on_cpu():
+    # On CPU the dispatch gate is closed; right_q_apply must equal the
+    # original chain bit-for-bit (it IS the original chain).
+    rng = np.random.default_rng(1)
+    f = bq.cpqr_blocked(jnp.asarray(rng.normal(size=(12, 8))))
+    J = jnp.asarray(rng.normal(size=(64, 12)))
+    out = bq.right_q_apply(f, J)
+    ref = J
+    for Vi, Ti in bq._panels(f):
+        ref = ref - ((ref @ Vi) @ Ti) @ Vi.T
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
