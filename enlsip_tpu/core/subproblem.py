@@ -26,8 +26,8 @@ from typing import Callable, NamedTuple
 import jax
 import jax.numpy as jnp
 
-from ..ops.blocked_qr import (CPQRF, cpqr_blocked, q_apply, qt_apply,
-                              right_q_apply)
+from ..ops.blocked_qr import (CPQRF, _panels, cpqr_blocked, q_apply,
+                              qt_apply, right_q_apply)
 from ..ops.qr import invperm, pseudo_rank, solve_lower, solve_upper
 from .types import Dims, WorkingView, rdims_or
 
@@ -121,7 +121,9 @@ def j2_transform_d(F_J2: "FactorJ2", JQ1: jax.Array, p1n: jax.Array,
         # rare subspace branch free of (m, n)-broadcast operands (XLA
         # hoists those out of the cond; benchmarks/giant_m_profile.py).
         G = F_J2.f.G
-        jtrx = F_J2.f.M.T @ rx                       # (n,) one tall stream
+        # One tall stream — already fused into the factorization pass
+        # when the Pallas path produced it (CholQRF.jtrx).
+        jtrx = F_J2.f.jtrx if F_J2.f.jtrx is not None else F_J2.f.M.T @ rx
         Gp = G @ p1n
         y = -Gp - jtrx
         v_sq = jnp.maximum(p1n @ Gp + 2.0 * (p1n @ jtrx) + jnp.dot(rx, rx),
@@ -246,7 +248,8 @@ def second_mult_estimate(F_A: FactorA, JQ1: jax.Array, rx: jax.Array,
     cols = jnp.arange(dims.n) < t
     if F_J2 is not None and y_gn is not None and \
             isinstance(F_J2.f, CholQRF) and F_J2.f.G is not None:
-        b_raw = F_J2.f.M.T @ rx + F_J2.f.G @ y_gn
+        jtrx = F_J2.f.jtrx if F_J2.f.jtrx is not None else F_J2.f.M.T @ rx
+        b_raw = jtrx + F_J2.f.G @ y_gn
     else:
         # J1^T v with J1 = first t cols of JQ1: mask the (n,) RESULT,
         # not a materialized (n, m) operand copy (an (m, n) stream per
@@ -314,12 +317,30 @@ def gn_search_direction(J: jax.Array, rx: jax.Array, act: ActiveConstraint,
     """GNSRCH (enlsip_functions.jl:206-234)."""
     n = dims.n
     rd = rdims_or(rdims, dims)
-    JQ1 = right_q_apply(F_A.f, J, allow_pallas=tsqr_axis is None)
+    rows = J.shape[0]
     cols = jnp.arange(n)
     live_cols = cols >= rankA
-    rows = JQ1.shape[0]
+    tall = rows >= 32 * n and rows >= 4096
+    # Fused single-pass path (giant-m single chip, cholqr): the WY
+    # apply, the CholQR Gram, and the JQ1^T rx projection fuse into ONE
+    # Pallas pass over J — one J read + one JQ1 write + one rx read of
+    # HBM traffic, vs five (m, n)-class streams (the apply's GEMM
+    # chain, the Gram's column-major operand copy, and two more JQ1
+    # reads) left to XLA (benchmarks/giant_m_profile.py).
+    gram = jtrx = None
+    panels = _panels(F_A.f)
+    if (tall and tall_qr == "cholqr" and tsqr_axis is None
+            and len(panels) == 1):
+        from ..ops.pallas_wy import use_wy_pallas, wy_gram_project
+        V0, T0 = panels[0]
+        if use_wy_pallas(rows, n, V0.shape[1], J.dtype):
+            JQ1, gram, jtrx = wy_gram_project(J, V0, T0, rx)
+        else:
+            JQ1 = right_q_apply(F_A.f, J, allow_pallas=False)
+    else:
+        JQ1 = right_q_apply(F_A.f, J, allow_pallas=tsqr_axis is None)
     # Only n - rankA columns are live; skip the no-op steps.
-    if tsqr_axis is not None or (rows >= 32 * n and rows >= 4096):
+    if tsqr_axis is not None or tall:
         # Tall panel (giant-m; single chip or row-sharded): a two-stage
         # factorization replaces the n-step pivot loop that would
         # stream the full (m, n) buffer each step.  Column norms (hence
@@ -332,7 +353,8 @@ def gn_search_direction(J: jax.Array, rx: jax.Array, act: ActiveConstraint,
             # (m, n) masked-copy round trip per factorization).
             from ..ops.tsqr import cholqr_cpqr
             F_J2 = FactorJ2(f=cholqr_cpqr(JQ1, nsteps=n - rankA,
-                                          col_live=live_cols))
+                                          col_live=live_cols, gram=gram,
+                                          jtrx=jtrx))
         else:
             J2buf = jnp.where(live_cols[None, :], JQ1, 0.0)
             # Householder first stage: local/whole thin QR + pivoted QR

@@ -1,22 +1,40 @@
-"""Fused compact-WY right-apply: JQ1 = J @ Q in ONE pass over J.
+"""Fused compact-WY right-apply kernels: JQ1 = J @ Q in ONE pass over J.
 
-The giant-m iteration's biggest op cluster is ``right_q_apply`` —
-``J - ((J @ V) @ T) @ V^T`` over a (5M, 100) J with a single small
-(n, k) panel.  XLA emits the chain as two convolution-emitter GEMMs
-that demand a column-major copy of J (a full extra (m, n) HBM round
-trip, ~6.9 ms/iteration at the 5M x 100 spec point — measured in
-benchmarks/giant_m_profile.py).  This kernel tiles J into row blocks,
-keeps V/T resident, and runs all three GEMMs per block on the MXU:
-exactly one J read + one JQ1 write of HBM traffic.
+The giant-m iteration's biggest op cluster is the GN direction's tall
+algebra over a (5M, 100) J with a single small (n, k) WY panel:
+
+  JQ1  = J - (J @ V) @ (T @ V^T)     (right_q_apply)
+  G    = JQ1^T JQ1                   (the CholQR Gram)
+  jtrx = JQ1^T rx                    (d-vector + LEAEST projection)
+
+Left to XLA these cost FIVE (m, n)-class HBM streams per iteration —
+J read, JQ1 write, a column-major copy of JQ1 feeding the Gram GEMM's
+convolution emitter, and two more JQ1 reads (Gram + projection) —
+~33 ms at the 5M x 100 spec point (benchmarks/giant_m_profile.py).
+:func:`wy_gram_project` computes all three outputs in ONE fused pass:
+row blocks of J stream through VMEM once, V/W stay resident, the
+(n, n) Gram and (n,) projection accumulate across the sequential grid
+in VMEM, and exactly one J read + one JQ1 write + one rx read of HBM
+traffic remain.
+
+The apply uses the 2-GEMM W-form (W = T @ V^T precomputed at trace
+level): at the padded MXU tile sizes the dropped (J V) @ T pass is a
+third of the MXU work.  Kernel dots inherit the AMBIENT matmul
+precision (no explicit ``precision=``): under ``solve``'s scoped
+``jax.default_matmul_precision`` (Options.matmul_precision, default
+"float32") the kernel runs the same accuracy class as the XLA chain it
+replaces; raw ``run_chunk`` harnesses get the JAX default exactly as
+they do for every other dot in the loop.
 
 Reference role: the Q1 application inside GNSRCH
 (/root/reference/src/enlsip_functions.jl:219-220, ``J * F_A.Q``) — the
-reference materializes Q via LAPACK; here Q stays a WY panel.
+reference materializes Q via LAPACK; here Q stays a WY panel and the
+Gram/projection consumers fuse into its application.
 """
 
 from __future__ import annotations
 
-import math
+import os
 
 import jax
 import jax.numpy as jnp
@@ -25,21 +43,44 @@ from jax.experimental import pallas as pl
 # Preferred rows per program; actual block is the largest divisor of
 # the row count that is a multiple of 8 (sublane width) and <= this.
 MAX_ROW_BLOCK = 2048
-_HI = jax.lax.Precision.HIGHEST
 
 
-def _wy_kernel(j_ref, v_ref, t_ref, o_ref):
+def _dot(a, b, dims):
+    return jax.lax.dot_general(a, b, (dims, ((), ())))
+
+
+def _wy_kernel(j_ref, v_ref, w_ref, o_ref):
     J = j_ref[...]                                # (RB, n)
     V = v_ref[...]                                # (n, k)
-    T = t_ref[...]                                # (k, k)
-    X = jax.lax.dot_general(J, V, (((1,), (0,)), ((), ())),
-                            precision=_HI)        # (RB, k)
-    X = jax.lax.dot_general(X, T, (((1,), (0,)), ((), ())),
-                            precision=_HI)        # (RB, k)
-    # X @ V^T without materializing the transpose: contract k with k.
-    U = jax.lax.dot_general(X, V, (((1,), (1,)), ((), ())),
-                            precision=_HI)        # (RB, n)
-    o_ref[...] = J - U
+    W = w_ref[...]                                # (k, n) = T @ V^T
+    X = _dot(J, V, (((1,), (0,))))                # (RB, k)
+    o_ref[...] = J - _dot(X, W, (((1,), (0,))))   # (RB, n)
+
+
+def _wy_gram_kernel(j_ref, v_ref, w_ref, rx_ref, o_ref, g_ref, p_ref):
+    i = pl.program_id(0)
+    J = j_ref[...]                                # (RB, n)
+    V = v_ref[...]                                # (n, k)
+    W = w_ref[...]                                # (k, n)
+    X = _dot(J, V, (((1,), (0,))))                # (RB, k)
+    JQ1 = J - _dot(X, W, (((1,), (0,))))          # (RB, n)
+    o_ref[...] = JQ1
+    G_blk = _dot(JQ1, JQ1, (((0,), (0,))))        # (n, n)
+    # rx rides as (8, RB) stripes shared by 8 consecutive programs
+    # (Mosaic's (8, 128) tiling forbids 1-sublane blocks; the repeated
+    # block index skips the re-fetch), this program's rows at i % 8.
+    rxb = rx_ref[pl.ds(i % 8, 1), :]              # (1, RB)
+    p_blk = _dot(rxb, JQ1, (((1,), (0,))))        # (1, n)
+
+    @pl.when(i == 0)
+    def _init():
+        g_ref[...] = G_blk
+        p_ref[...] = p_blk
+
+    @pl.when(i != 0)
+    def _accum():
+        g_ref[...] += G_blk
+        p_ref[...] += p_blk
 
 
 def _row_block(rows: int) -> int | None:
@@ -56,7 +97,6 @@ def _row_block(rows: int) -> int | None:
 
 def use_wy_pallas(rows: int, cols: int, k: int, dtype) -> bool:
     """Dispatch gate: tall f32 single-panel applies on TPU."""
-    import os
     if os.environ.get("ENLSIP_DISABLE_PALLAS"):
         return False
     try:
@@ -74,12 +114,47 @@ def wy_right_apply(J: jax.Array, V: jax.Array, T: jax.Array) -> jax.Array:
     k = V.shape[1]
     rb = _row_block(rows)
     assert rb is not None, rows
+    W = T @ V.T                                   # (k, n), trace-level
     return pl.pallas_call(
         _wy_kernel,
         grid=(rows // rb,),
         in_specs=[pl.BlockSpec((rb, n), lambda i: (i, 0)),
                   pl.BlockSpec((n, k), lambda i: (0, 0)),
-                  pl.BlockSpec((k, k), lambda i: (0, 0))],
+                  pl.BlockSpec((k, n), lambda i: (0, 0))],
         out_specs=pl.BlockSpec((rb, n), lambda i: (i, 0)),
         out_shape=jax.ShapeDtypeStruct((rows, n), J.dtype),
-    )(J, V, T)
+    )(J, V, W)
+
+
+def wy_gram_project(J: jax.Array, V: jax.Array, T: jax.Array,
+                    rx: jax.Array):
+    """Fused ``(JQ1, JQ1^T JQ1, JQ1^T rx)`` in one pass over J.
+
+    Returns ``(JQ1 (m, n), G (n, n), jtrx (n,))``.  The Gram is raw
+    (unmasked) — exactly what :func:`ops.tsqr.cholqr_cpqr` computes
+    internally; dead-column masking stays on the (n, n) side."""
+    rows, n = J.shape
+    k = V.shape[1]
+    rb = _row_block(rows)
+    assert rb is not None, rows
+    W = T @ V.T                                   # (k, n), trace-level
+    # (nblk, RB) row-stripe layout: a (m,) lane-major operand would pad
+    # every block's lane dim to 128 and stream 128x the bytes; the
+    # (8, RB) block satisfies the (8, 128) tiling rule and is fetched
+    # once per 8 programs (see kernel comment).
+    rx2 = rx.reshape(rows // rb, rb)
+    JQ1, G, jtrx = pl.pallas_call(
+        _wy_gram_kernel,
+        grid=(rows // rb,),
+        in_specs=[pl.BlockSpec((rb, n), lambda i: (i, 0)),
+                  pl.BlockSpec((n, k), lambda i: (0, 0)),
+                  pl.BlockSpec((k, n), lambda i: (0, 0)),
+                  pl.BlockSpec((8, rb), lambda i: (i // 8, 0))],
+        out_specs=[pl.BlockSpec((rb, n), lambda i: (i, 0)),
+                   pl.BlockSpec((n, n), lambda i: (0, 0)),
+                   pl.BlockSpec((1, n), lambda i: (0, 0))],
+        out_shape=[jax.ShapeDtypeStruct((rows, n), J.dtype),
+                   jax.ShapeDtypeStruct((n, n), J.dtype),
+                   jax.ShapeDtypeStruct((1, n), J.dtype)],
+    )(J, V, W, rx2)
+    return JQ1, G, jtrx[0]

@@ -151,7 +151,7 @@ class CholQRF:
     restores the Householder path.
     """
 
-    def __init__(self, M, R1, f2: CPQRF, R2=None, G=None):
+    def __init__(self, M, R1, f2: CPQRF, R2=None, G=None, jtrx=None):
         self.M = M        # (m, n) the factored buffer (not copied)
         self.R1 = R1      # (n, n) upper, dead columns zeroed
         self.f2 = f2      # CPQR of R2 @ R1 (the refined factor)
@@ -167,9 +167,13 @@ class CholQRF:
         # the GN d-vector and the LEAEST rhs never re-stream the tall
         # buffer (benchmarks/giant_m_profile.py attribution).
         self.G = G
+        # Optional precomputed M^T rx (the fused Pallas pass emits it
+        # alongside the Gram); consumers that would stream M^T @ rx
+        # read this instead (subproblem.j2_transform_d / LEAEST).
+        self.jtrx = jtrx
 
     def tree_flatten(self):
-        return (self.M, self.R1, self.f2, self.R2, self.G), None
+        return (self.M, self.R1, self.f2, self.R2, self.G, self.jtrx), None
 
     @classmethod
     def tree_unflatten(cls, aux, children):
@@ -188,7 +192,8 @@ class CholQRF:
         return self.f2.diag[: self.M.shape[1]]
 
 
-def cholqr_cpqr(M: jax.Array, nsteps, col_live=None) -> CholQRF:
+def cholqr_cpqr(M: jax.Array, nsteps, col_live=None, gram=None,
+                jtrx=None) -> CholQRF:
     """Column-pivoted QR of a tall (m, n) buffer via shifted CholeskyQR
     (implicit Q) + pivoted QR of R1.  Works transparently row-sharded:
     the Gram GEMM contracts the sharded axis (one psum).
@@ -210,7 +215,10 @@ def cholqr_cpqr(M: jax.Array, nsteps, col_live=None) -> CholQRF:
     recommended in docs/tutorial.md's giant-m section)."""
     from jax.scipy.linalg import solve_triangular
     n = M.shape[1]
-    G_raw = M.T @ M                                 # (n, n), MXU speed
+    # ``gram``: the caller already holds M^T M (the fused Pallas WY
+    # pass emits it with the apply — ops/pallas_wy.wy_gram_project);
+    # recomputing it here would re-stream the tall buffer.
+    G_raw = (M.T @ M) if gram is None else gram     # (n, n), MXU speed
     G = G_raw
     if col_live is not None:
         # Dead-column masking moved to the SMALL side: the live-live
@@ -237,7 +245,7 @@ def cholqr_cpqr(M: jax.Array, nsteps, col_live=None) -> CholQRF:
     if jnp.finfo(M.dtype).eps > jnp.finfo(jnp.float64).eps:
         # f32: single pass (see class docstring for the envelope).
         return CholQRF(M=M, R1=R1, f2=cpqr_blocked(R1, nsteps=nsteps),
-                       G=G_raw)
+                       G=G_raw, jtrx=jtrx)
     # --- f64 refinement pass (implicit CholeskyQR2) --------------------
     # G_Q = R1^{-T} G R1^{-1} is the Gram of the implicit Q; its
     # Cholesky factor R2 measures (and removes) the orthogonality loss.
@@ -260,7 +268,7 @@ def cholqr_cpqr(M: jax.Array, nsteps, col_live=None) -> CholQRF:
     # application composes the two factors (see CholQRF.R2).
     Rr = jnp.where(live[None, :], R2 @ R1, 0.0)
     return CholQRF(M=M, R1=R1, f2=cpqr_blocked(Rr, nsteps=nsteps), R2=R2,
-                   G=G_raw)
+                   G=G_raw, jtrx=jtrx)
 
 
 def qt_apply_cholqr_from_projection(f: CholQRF, y: jax.Array,

@@ -1,5 +1,6 @@
-"""Fused WY right-apply kernel (ops/pallas_wy.py): parity with the
-plain compact-WY GEMM chain, block-divisor logic, and dispatch gate.
+"""Fused WY right-apply kernels (ops/pallas_wy.py): parity with the
+plain compact-WY GEMM chain (apply, Gram, projection), block-divisor
+logic, and dispatch gate.
 """
 
 import jax
@@ -7,7 +8,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from enlsip_tpu.ops import blocked_qr as bq
-from enlsip_tpu.ops.pallas_wy import (_row_block, _wy_kernel, use_wy_pallas,
+from enlsip_tpu.ops.pallas_wy import (_row_block, _wy_gram_kernel,
+                                      _wy_kernel, use_wy_pallas,
                                       wy_right_apply)
 
 
@@ -15,26 +17,64 @@ def _ref(J, V, T):
     return J - ((J @ V) @ T) @ V.T
 
 
+def _factors(rng, n, k):
+    f = bq.cpqr_blocked(jnp.asarray(rng.normal(size=(n, k))))
+    return f.V, f.T[0]
+
+
 def test_wy_kernel_parity_interpret():
     from jax.experimental import pallas as pl
     rng = np.random.default_rng(0)
     rows, n, k = 4096, 100, 50
-    f = bq.cpqr_blocked(jnp.asarray(rng.normal(size=(n, k))))
-    V, T = f.V, f.T[0]
+    V, T = _factors(rng, n, k)
     J = jnp.asarray(rng.normal(size=(rows, n)))
     rb = _row_block(rows)
+    W = T @ V.T
     out = pl.pallas_call(
         _wy_kernel,
         grid=(rows // rb,),
         in_specs=[pl.BlockSpec((rb, n), lambda i: (i, 0)),
                   pl.BlockSpec((n, k), lambda i: (0, 0)),
-                  pl.BlockSpec((k, k), lambda i: (0, 0))],
+                  pl.BlockSpec((k, n), lambda i: (0, 0))],
         out_specs=pl.BlockSpec((rb, n), lambda i: (i, 0)),
         out_shape=jax.ShapeDtypeStruct((rows, n), J.dtype),
         interpret=True,
-    )(J, V, T)
+    )(J, V, W)
     np.testing.assert_allclose(np.asarray(out), np.asarray(_ref(J, V, T)),
                                rtol=1e-12, atol=1e-12)
+
+
+def test_wy_gram_kernel_parity_interpret():
+    from jax.experimental import pallas as pl
+    rng = np.random.default_rng(2)
+    rows, n, k = 2048, 60, 24
+    V, T = _factors(rng, n, k)
+    J = jnp.asarray(rng.normal(size=(rows, n)))
+    rx = jnp.asarray(rng.normal(size=(rows,)))
+    rb = 256
+    W = T @ V.T
+    JQ1, G, jtrx = pl.pallas_call(
+        _wy_gram_kernel,
+        grid=(rows // rb,),
+        in_specs=[pl.BlockSpec((rb, n), lambda i: (i, 0)),
+                  pl.BlockSpec((n, k), lambda i: (0, 0)),
+                  pl.BlockSpec((k, n), lambda i: (0, 0)),
+                  pl.BlockSpec((8, rb), lambda i: (i // 8, 0))],
+        out_specs=[pl.BlockSpec((rb, n), lambda i: (i, 0)),
+                   pl.BlockSpec((n, n), lambda i: (0, 0)),
+                   pl.BlockSpec((1, n), lambda i: (0, 0))],
+        out_shape=[jax.ShapeDtypeStruct((rows, n), J.dtype),
+                   jax.ShapeDtypeStruct((n, n), J.dtype),
+                   jax.ShapeDtypeStruct((1, n), J.dtype)],
+        interpret=True,
+    )(J, V, W, rx.reshape(rows // rb, rb))
+    ref = _ref(J, V, T)
+    np.testing.assert_allclose(np.asarray(JQ1), np.asarray(ref),
+                               rtol=1e-12, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(G), np.asarray(ref.T @ ref),
+                               rtol=1e-10, atol=1e-10)
+    np.testing.assert_allclose(np.asarray(jtrx[0]), np.asarray(ref.T @ rx),
+                               rtol=1e-10, atol=1e-10)
 
 
 def test_row_block_divisors():
