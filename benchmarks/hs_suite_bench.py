@@ -96,7 +96,66 @@ def run(dtype_name: str) -> dict:
         result["matched_escalated"] = len(names) - len(misses_esc)
         result["misses_escalated"] = misses_esc
         result["escalated_lanes"] = int(mask.sum())
+
+    still = result.get("misses_escalated", result["misses"])
+    if dtype_name == "f32" and still:
+        result.update(_multistart(still, dtype, _tols,
+                                  total=result["total"]))
     return result
+
+
+def _multistart(still, dtype, _tols, total, K=32):
+    """Multistart escalation (VERDICT r4 #6): the reference is a
+    single-start solver, so its published outcomes on
+    hs2/hs13/hs16/hs27 (alternate stationary points / abnormal exits,
+    oracle-adjudicated in PARITY.md) are its ceiling.  The batched
+    framework re-solves a missed family from K perturbed starts in ONE
+    fused launch (lane 0 = the standard start).  A family matches if
+    ANY converged lane (exit_code > 0 — the termination lattice
+    negates codes at infeasible points, enlsip_functions.jl:2471-2481)
+    hits the published optimum.  Scoring by "best feasible f" would be
+    wrong: on hs13 tolerance-feasible lanes report f slightly BELOW
+    f*=1.0 (the constraint boundary is degenerate there), so the best
+    lane undercuts the optimum it actually converged to.  Families
+    still missing after the f32 pass are re-solved at f64 via the
+    escalation path (opt-in; reported as *_multistart fields)."""
+    from enlsip_tpu.core.types import Options
+    from enlsip_tpu.parallel.batch import solve_batched
+    from enlsip_tpu.parallel.hetero import fuse_families, solve_suite_fused
+    from enlsip_tpu.parallel.suite import hs_scenario_batch
+    from enlsip_tpu.problems import get_problem
+
+    fams = hs_scenario_batch(still, per_family=K, scale=1.0)
+    for n in list(fams):
+        x0 = np.asarray(get_problem(n)[0]["starting_point"], dtype=float)
+        xb = np.asarray(fams[n].x0_batch).copy()
+        xb[0] = x0
+        fams[n] = fams[n]._replace(x0_batch=jnp.asarray(xb))
+    fused = fuse_families(fams)
+    out = solve_suite_fused(fams, Options(), _tols, dtype=dtype,
+                            fused=fused)
+
+    def any_hit(f, ec, fstar):
+        f, ec = np.asarray(f, float), np.asarray(ec)
+        ok = (ec > 0) & (np.abs(f - fstar) <= MATCH_RTOL * (1 + abs(fstar)))
+        return bool(ok.any())
+
+    misses_ms = [n for n in still
+                 if not any_hit(out[n].f, out[n].exit_code, fams[n].fstar)]
+    if misses_ms:  # f64 re-solve of the still-missed families' lanes
+        mask = np.zeros(fused.x0.shape[0], bool)
+        for n in misses_ms:
+            mask[fused.slices[n]] = True
+        res = solve_batched(fused.fns, fused.x0, fused.dims, Options(),
+                            _tols(dtype), dtype=dtype, data=fused.data,
+                            rdims=fused.rdims, escalate_mask=mask)
+        misses_ms = [n for n in misses_ms
+                     if not any_hit(res.f[fused.slices[n]],
+                                    res.exit_code[fused.slices[n]],
+                                    fams[n].fstar)]
+    return {"matched_multistart": total - len(misses_ms),
+            "misses_multistart": misses_ms,
+            "multistart_k": K}
 
 
 if __name__ == "__main__":
