@@ -201,12 +201,16 @@ def measure_giant_m():
             c = run_chunk(c, fns, dims, opts, tols, opts.max_iter + 1)
             return c.x, c.nb_iter, c.counters
 
-        x, ni, cnt = gm_solve(W, Y, x0, tols)
-        np.asarray(x)  # warm/compile
-        t0 = time.perf_counter()
-        x, ni, cnt = gm_solve(W, Y, x0, tols)
-        np.asarray(x)
-        return time.perf_counter() - t0, int(ni), int(cnt.nb_res)
+        # Same precision contract as solve()/bench_giant_m (r4 #2).
+        from enlsip_tpu.core.types import matmul_precision_scope
+        with matmul_precision_scope(opts):
+            x, ni, cnt = gm_solve(W, Y, x0, tols)
+            np.asarray(x)  # warm/compile
+            t0 = time.perf_counter()
+            x, ni, cnt = gm_solve(W, Y, x0, tols)
+            np.asarray(x)
+            dt = time.perf_counter() - t0
+        return dt, int(ni), int(cnt.nb_res)
 
     t1, i1, r1 = run_solver(1)
     t4, i4, r4 = run_solver(4)

@@ -120,6 +120,20 @@ def j2_transform_d(F_J2: "FactorJ2", JQ1: jax.Array, p1n: jax.Array,
         # (m, n) streams per GN direction on giant-m AND keeping the
         # rare subspace branch free of (m, n)-broadcast operands (XLA
         # hoists those out of the cond; benchmarks/giant_m_profile.py).
+        #
+        # Cancellation envelope (ADVICE r4): reconstructing M^T v and
+        # ||v||^2 from the Gram has absolute error ~eps*||JQ1||^2*
+        # ||p1n|| instead of the materialized-v path's ~eps*||JQ1||*
+        # ||v||.  When ||v|| << ||JQ1 p1n|| (near-exact GN steps on
+        # zero-residual problems) the d-vector — including d1sq feeding
+        # the +10000 convergence test and GNDCHK's ||d|| ratios —
+        # becomes noise-dominated earlier than on the dense path.  In
+        # that regime the noise EXIT tests (alfnoi/+40) absorb the
+        # difference: the lane still terminates at the same iterate to
+        # within the f32 envelope (the same adjudication as the CholQR
+        # cond^2 caveat, ops/tsqr.py:162).  The same envelope applies
+        # to the LEAEST rhs in second_mult_estimate, which rides this
+        # Gram too.
         G = F_J2.f.G
         # One tall stream — already fused into the factorization pass
         # when the Pallas path produced it (CholQRF.jtrx).

@@ -171,7 +171,7 @@ def cpqr_blocked(M: jax.Array, nb: int = NB,
     it removes almost the whole sequential loop.
 
     Large factorizations on TPU dispatch to the fused Pallas kernel
-    (whole matrix resident in VMEM, ops/pallas_qr.py); tiny ones route
+    (whole matrix resident in VMEM, ops/pallas_qr2.py); tiny ones route
     through a custom_vmap wrapper so scenario batches hit the fused
     batched kernel (ops/pallas_batched_qr.py)."""
     rows, cols = M.shape
@@ -301,12 +301,16 @@ def _cpqr_xla_panels(M: jax.Array, nb: int, nsteps: jax.Array | None
         # below it (V is stored separately).
         in_panel = (cidx >= s) & (cidx < s + nb)
         below = ridx[:, None] > cidx[None, :]
-        B = jnp.where(in_panel[None, :] & below, 0.0, B)
+        # Only columns inside the traced nsteps bound are zeroed below
+        # the diagonal — columns past ub were never factorized, and
+        # touching them would diverge from _cpqr_xla's handling of
+        # (out-of-contract) nonzero trailing columns (ADVICE r4).
+        active_col = in_panel & (cidx < ub)
+        B = jnp.where(active_col[None, :] & below, 0.0, B)
         # (indexing, not dynamic_update_slice: for the last panel
         # s + nb may exceed cols and the slice start would CLAMP,
         # shifting every beta)
         beta_of_col = betas[jnp.clip(cidx - s, 0, nb - 1)]
-        active_col = in_panel & (cidx < ub)
         diag_mask = (ridx[:, None] == cidx[None, :]) & active_col[None, :]
         B = jnp.where(diag_mask, beta_of_col[None, :], B)
         V = lax.dynamic_update_slice(V, Vp, (0, s))

@@ -144,6 +144,11 @@ def solve_suite_fused(families: dict, opts: Options, tols_fn,
     union closures inside a FusedSuite are the solver's jit cache key
     (static ``fns``), so repeat solves of the same suite MUST reuse one
     FusedSuite or every call pays a full recompile."""
+    if escalate_f64 and mesh is not None:
+        raise ValueError(
+            "escalate_f64 is not wired through the sharded path; run the "
+            "mesh solve, then escalate flagged lanes explicitly via "
+            "solve_batched(..., escalate_mask=...) (ADVICE r4)")
     if fused is None:
         fused = fuse_families(families)
     tols = tols_fn(dtype)
