@@ -121,6 +121,19 @@ def worker(args) -> None:
     report["hs65"]["t_solve_s"] = float(np.median(times))
     report["hs65"]["check_every"] = args.check_every
 
+    # Local-only reference timing (same lanes, no sharded assembly, no
+    # cross-process collectives; compiled above inside parity()): the
+    # sharded-minus-local gap is the per-step price of the distributed
+    # path — collectives + sharded-array assembly + lockstep sync.
+    times_loc = []
+    for _ in range(args.repeats):
+        t0 = time.perf_counter()
+        rloc = solve_batched(spec.fns, x0_local, spec.dims, opts,
+                             tols(dtype), dtype=dtype)
+        jax.block_until_ready(rloc.exit_code)
+        times_loc.append(time.perf_counter() - t0)
+    report["hs65"]["t_local_s"] = float(np.median(times_loc))
+
     # ---- scenario 2: fused heterogeneous suite ------------------------
     if args.suite:
         names = ["hs14", "hs65", "hs26", "hs53"]
@@ -177,7 +190,8 @@ def _free_port() -> int:
 
 
 def run_config(nproc: int, b_local: int, dev_per_proc: int, repeats: int,
-               suite: bool, timeout_s: float, check_every: int = 4) -> dict:
+               suite: bool, timeout_s: float, check_every: int = 4,
+               cores_pp: int | None = None) -> dict:
     port = _free_port()
     env = {k: v for k, v in os.environ.items()
            if k not in ("XLA_FLAGS", "JAX_PLATFORMS", "JAX_PLATFORM_NAME")}
@@ -199,7 +213,8 @@ def run_config(nproc: int, b_local: int, dev_per_proc: int, repeats: int,
     # cores — each "host" must get its own).  Falls back gracefully when
     # taskset or enough cores are unavailable.
     ncores = os.cpu_count() or 1
-    cores_pp = max(1, ncores // max(nproc, 2))
+    if cores_pp is None:
+        cores_pp = max(1, ncores // max(nproc, 2))
     have_taskset = subprocess.run(["which", "taskset"],
                                   capture_output=True).returncode == 0
 
@@ -233,8 +248,8 @@ def run_config(nproc: int, b_local: int, dev_per_proc: int, repeats: int,
             ok = False
         reports.append(rep)
     result = {"nproc": nproc, "b_local": b_local,
-              "dev_per_proc": dev_per_proc, "procs_ok": ok,
-              "workers": reports}
+              "dev_per_proc": dev_per_proc, "cores_pp": cores_pp,
+              "procs_ok": ok, "workers": reports}
     if not ok:
         result["logs_tail"] = [o[-2000:] for o in outs]
     return result
@@ -293,6 +308,36 @@ def main() -> None:
         summary["t_1proc_s"] = t1
         summary["t_2proc_s"] = t2
         summary["weak_scaling_efficiency"] = t1 / t2 if t2 > 0 else None
+        # Distributed-path overhead share (collectives + sharded-array
+        # assembly + lockstep sync): sharded-vs-local gap on the SAME
+        # process/lanes/hardware.  An upper bound on the pure
+        # collective share.
+        w2 = max(twos[-1]["workers"], key=lambda w: w["hs65"]["t_solve_s"])
+        if w2["hs65"].get("t_local_s"):
+            summary["collective_fraction"] = max(
+                0.0, 1.0 - w2["hs65"]["t_local_s"] / w2["hs65"]["t_solve_s"])
+
+    # 4-process chain (VERDICT r4 #5).  Needs its OWN 1-core-per-process
+    # baseline: this machine has few cores, and a weak-scaling ratio is
+    # only meaningful when per-process hardware is constant across the
+    # compared configs.
+    ncores = os.cpu_count() or 1
+    if not args.quick and ncores >= 4:
+        one1 = run_config(1, b_local, args.dev_per_proc, repeats, False,
+                          args.timeout, args.check_every, cores_pp=1)
+        four = run_config(4, b_local, args.dev_per_proc, repeats, False,
+                          args.timeout, args.check_every, cores_pp=1)
+        summary["run_4proc"] = four
+        ok4 = (one1["procs_ok"] and four["procs_ok"]
+               and all(w and w["hs65"]["ok"] for w in four["workers"]))
+        summary["parity_ok_4proc"] = ok4
+        if ok4:
+            t1c = one1["workers"][0]["hs65"]["t_solve_s"]
+            t4 = max(w["hs65"]["t_solve_s"] for w in four["workers"])
+            summary["t_1proc_1core_s"] = t1c
+            summary["t_4proc_s"] = t4
+            summary["weak_scaling_efficiency_4proc"] = (t1c / t4
+                                                        if t4 > 0 else None)
     print("MULTIPROC_RESULT " + json.dumps(summary), flush=True)
     sys.exit(0 if parity_ok else 1)
 
