@@ -14,7 +14,7 @@ Capture robustness (VERDICT r4 #1 — BENCH_r04 was rc=124/parsed=null):
 the output dict is built INCREMENTALLY section by section; the single
 JSON line is guaranteed to be printed exactly once by whichever fires
 first of (a) normal completion, (b) a watchdog thread at
-ENLSIP_BENCH_BUDGET_S seconds (default 1350) that prints the partial
+ENLSIP_BENCH_BUDGET_S seconds (default 1700) that prints the partial
 dict and _exits 0 even if the main thread is stuck inside a blocking
 XLA/Mosaic compile, (c) a SIGTERM/SIGINT handler (the driver's
 `timeout` sends SIGTERM).  Sections run in evidence-value order, each
@@ -521,8 +521,9 @@ def bench_multiproc(timeout_s: float = 1800):
     import subprocess
     script = _os.path.join(_os.path.dirname(_os.path.abspath(__file__)),
                            "benchmarks", "multiproc_harness.py")
+    env = dict(_os.environ, ENLSIP_MP_ROUNDS="1")
     p = subprocess.run([sys.executable, script], capture_output=True,
-                       text=True, timeout=timeout_s)
+                       text=True, timeout=timeout_s, env=env)
     result = None
     for line in p.stdout.splitlines():
         if line.startswith("MULTIPROC_RESULT "):
@@ -542,7 +543,7 @@ def _qr_path():
 # ---------------------------------------------------------------- emit
 
 _T0 = time.monotonic()
-_BUDGET_S = float(_os.environ.get("ENLSIP_BENCH_BUDGET_S", "1350"))
+_BUDGET_S = float(_os.environ.get("ENLSIP_BENCH_BUDGET_S", "1700"))
 _EMIT_LOCK = threading.Lock()
 _EMITTED = False
 
@@ -788,7 +789,7 @@ def main():
     _section("hetero_100k", 150, _sec_hetero_100k)
     _section("hs_suite_f64", 180, _sec_hs_suite_f64)
     _section("hetero_newton", 90, _sec_hetero_newton)
-    _section("multiproc", 240, _sec_multiproc)
+    _section("multiproc", 330, _sec_multiproc)
     _emit_once("complete")
 
 

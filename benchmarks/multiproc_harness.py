@@ -285,7 +285,12 @@ def main() -> None:
     # Interleave 1-proc/2-proc runs and take per-config minima: the
     # shared-machine proxy is noisy (CPU frequency drift, other load),
     # and min-of-runs is the standard estimator for it.
-    rounds = 1 if args.quick else 2
+    # ENLSIP_MP_ROUNDS=1 (bench.py sets it) halves the 1/2-proc chain:
+    # min-of-2-rounds is the noise-robust standalone default, but the
+    # bench's end-to-end budget matters more than the last few percent
+    # of proxy stability.
+    rounds = 1 if args.quick else int(os.environ.get("ENLSIP_MP_ROUNDS",
+                                                     "2"))
     ones, twos = [], []
     for _ in range(rounds):
         ones.append(run_config(1, b_local, args.dev_per_proc, repeats,

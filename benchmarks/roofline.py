@@ -23,13 +23,14 @@ Measured on TPU v5e (floor-calibrated, see _measure):
   pivot argmax/select/permutation bookkeeping dominates the pure flop
   count).  The operative end-to-end fact: at B=4096 the kernel is <1%
   of a batched solver step — past the point of diminishing returns.
-* giant-m (5M x 100) GN iteration: measured marginal 75.3 ms/iter vs
-  the mandatory-streams + MXU-GEMM bound 33.5 ms = 2.25x (the config
-  BASELINE names; round 3 — the CholeskyQR tall path took it from
-  1.35 s/iter, ~33x over the same bound; the directional-trial hook
-  moved the psi trials off the W stream without moving the measured
-  marginal, so the residual gap is XLA loop-body scheduling, not an
-  algorithmic stream).
+* giant-m (5M x 100) GN iteration, round 5 (scoped float32 matmul
+  precision — the solve() contract): measured marginal 41.0 ms/iter vs
+  the trace-calibrated bound 39.7 ms = 1.03x (ideal-machine bound
+  28.5 ms; captured as giant_m_* BENCH fields).  History: round 3
+  75.3 ms (2.25x), round 4 33.5 ms under AMBIENT precision (bf16-class
+  GEMMs — faster but flips the exit class to +40; see
+  bench.bench_giant_m).  The CholeskyQR tall path originally took this
+  from 1.35 s/iter.
 
 Run on a TPU:  python benchmarks/roofline.py
 """
@@ -153,12 +154,12 @@ def measure_giant_m():
     and the TRACE-CALIBRATED bound at the sustained rate the profiled
     leaf ops actually reach for these access patterns (478-690 GB/s,
     median ~555 — layout-tiled (m, n) reads with (1,) / (n,) outputs
-    do not hit the pure-stream class rate on v5e).  Known residual
-    artifacts the trace attributes but this model excludes: one
-    col-major layout copy feeding the conv-emitter WY GEMM (~6.9 ms)
-    and one cond-boundary broadcast materialization + re-read
-    (~6.7 ms) — the gap between measured and the calibrated bound is
-    these plus while/cond scheduling overhead.
+    do not hit the pure-stream class rate on v5e).  Round-4 residual
+    artifacts, round-5 status: the col-major layout copy feeding the
+    conv-emitter WY GEMM (~6.9 ms) was removed by the fused
+    ops/pallas_wy.py right-apply; under the scoped-float32 contract
+    the remaining measured-minus-calibrated gap is ~1.3 ms/iter
+    (1.03x) — cond/while scheduling, below the bound's own noise.
     """
     import bench
     from enlsip_tpu.core.driver import Functions, init_carry, run_chunk
