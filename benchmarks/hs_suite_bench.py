@@ -118,7 +118,12 @@ def _multistart(still, dtype, _tols, total, K=32):
     f*=1.0 (the constraint boundary is degenerate there), so the best
     lane undercuts the optimum it actually converged to.  Families
     still missing after the f32 pass are re-solved at f64 via the
-    escalation path (opt-in; reported as *_multistart fields)."""
+    escalation path (opt-in; reported as *_multistart fields).
+
+    The user-facing single-problem form of this machinery is
+    enlsip_tpu.parallel.multistart.solve_multistart; this bench drives
+    the fused multi-family variant so the whole miss set costs one
+    launch."""
     from enlsip_tpu.core.types import Options
     from enlsip_tpu.parallel.batch import solve_batched
     from enlsip_tpu.parallel.hetero import fuse_families, solve_suite_fused

@@ -160,6 +160,13 @@ def measure_giant_m():
     ops/pallas_wy.py right-apply; under the scoped-float32 contract
     the remaining measured-minus-calibrated gap is ~1.3 ms/iter
     (1.03x) — cond/while scheduling, below the bound's own noise.
+    Identified NEXT lever (unimplemented): a factored-Jacobian hook
+    (J = rowscale(x) * const_base, the shape of every phi(Wx)-fit)
+    would fuse the row scaling into the WY right-apply and skip
+    materializing J entirely — 2 of the 10 streams, ~7 ms/iter — at
+    the cost of threading an optional Functions hook through
+    new_point/STPLNG/gf consumers; measured infeasible to land safely
+    this round.
     """
     import bench
     from enlsip_tpu.core.driver import Functions, init_carry, run_chunk
