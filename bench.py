@@ -469,8 +469,18 @@ def bench_giant_m(dtype=jnp.float32, max_iter=8, trace_dir=None):
 
             return at
 
+        def rowscale(x):
+            # Factored J = diag(rowscale) @ W (Functions.jac_* hook,
+            # round 5): J is never materialized — the WY apply streams
+            # W with the scale fused in-kernel, saving two (m, n) HBM
+            # streams per iteration vs the dense closure above (kept
+            # for reference/tests).
+            z = W @ x
+            return -(1.0 + 0.1 * (1.0 - jnp.tanh(z) ** 2))
+
         fns = Functions(res=res, jac_res=jac, cons=_gm_cons,
-                        jac_cons=jax.jacfwd(_gm_cons), res_trial=res_trial)
+                        jac_cons=jax.jacfwd(_gm_cons), res_trial=res_trial,
+                        jac_rowscale=rowscale, jac_base=lambda: W)
         c = init_carry(fns, x0, dims, opts, dtype)
         c = run_chunk(c, fns, dims, opts, tols, opts.max_iter + 1)
         return c.x, c.nb_iter, c.exit_code, jnp.sum(c.active_mask)

@@ -137,17 +137,22 @@ def measure_giant_m():
     round-4 op-level trace (benchmarks/giant_m_profile.py) verified
     this inventory leaf-by-leaf and drove three reductions (Gram-reuse
     small-side d/LEAEST, Gram-side dead-column masking, one-pass ray
-    setup), leaving TEN mandatory (m, n)-class streams:
+    setup).  Round 5's factored-Jacobian hook (Functions.jac_rowscale/
+    jac_base: J = diag(s(x)) @ W, never materialized; the WY apply
+    streams W with the scale fused in-kernel) removed the 2-stream jac
+    eval at the cost of un-fusing gf (one W^T pass), leaving NINE
+    mandatory (m, n)-class streams:
 
-      res eval         1 (new_point: W read; gf reduce fuses into jac)
+      res eval         1 (W@x read; rowscale rides it via CSE)
       ray setup        1 (zx,zp from ONE W pass, (n, 2) rhs)
       psi trials       r_i * 3 m-vector passes (counter-derived; cheap)
-      jac eval         2 (W read + J write)
-      J@Q1 compact-WY  3 (J read + JQ1 write + (m,nb) intermediate)
+      gf = W^T(s*rx)   1 (was fused into the dense jac's producer pass)
+      J@Q1 compact-WY  3 (W read + JQ1 write + (m,nb) intermediate;
+                          rowscale fused in-kernel)
       Gram (cholqr)    1 (JQ1 read)        + 2mn^2 flops
       jtrx = JQ1^T rx  1 (JQ1 read; d-vector AND LEAEST ride it + the
                           kept (n, n) Gram — no other tall streams)
-      Jp = J@p         1
+      Jp = s*(W@p)     1
       J@Q1 flops       2mn^2 (one panel pass at t<=50)
 
     Two bounds are printed: the ideal-machine bound (peak stream rate)
@@ -202,9 +207,14 @@ def measure_giant_m():
 
                 return at
 
+            def rowscale(x):
+                z = W @ x
+                return -(1.0 + 0.1 * (1.0 - jnp.tanh(z) ** 2))
+
             fns = Functions(res=res, jac_res=jac, cons=bench._gm_cons,
                             jac_cons=jax.jacfwd(bench._gm_cons),
-                            res_trial=res_trial)
+                            res_trial=res_trial, jac_rowscale=rowscale,
+                            jac_base=lambda: W)
             c = init_carry(fns, x0, dims, opts, jnp.float32)
             c = run_chunk(c, fns, dims, opts, tols, opts.max_iter + 1)
             return c.x, c.nb_iter, c.counters
@@ -227,7 +237,7 @@ def measure_giant_m():
     res_per_iter = (r4 - r1) / iters
 
     S = m * n * 4                                  # one (m, n) stream
-    streams = 1 + 1 + 2 + 3 + 1 + 1 + 1           # see docstring
+    streams = 1 + 1 + 1 + 3 + 1 + 1 + 1           # see docstring
     bound_bytes = streams * S + res_per_iter * 3 * m * 4
     bound_flops = 2 * (2 * m * n * n)              # J@Q1 + Gram
     bound_s = bound_bytes / (HBM_STREAM_GBS * 1e9) \

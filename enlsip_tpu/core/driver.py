@@ -65,13 +65,29 @@ class Functions(NamedTuple):
     black-box form ``lambda a: res(x + a*p)``, bit-identical to
     evaluating res at the trial point.  Trial evaluations bump the
     residual counter exactly like the reference's psi (the counter
-    counts semantic evaluations of r)."""
+    counts semantic evaluations of r).
+
+    ``jac_rowscale``/``jac_base`` (optional, set together): a FACTORED
+    residual Jacobian ``J(x) = diag(jac_rowscale(x)) @ jac_base()`` —
+    the shape of every phi(W@x)-style fit, where J is a row-scaled
+    constant matrix.  The solver then never materializes J: the carry
+    stores the (m, 1) scale, the WY right-apply streams the base with
+    the scale fused in-kernel (ops/pallas_wy.py), and J@v / J^T u
+    products become base products with O(m) scaling.  On the 5M x 100
+    giant-m config this removes two (m, n) HBM streams per iteration
+    (the jac write and the apply's J read are replaced by one base
+    read).  Single-solve paths only (init_carry/run_chunk/solve);
+    ``solve_batched`` rejects it.  When set, ``jac_res`` may be None
+    (it is not called).  The reference has no analogue — its J is
+    always a materialized Matrix (enlsip_functions.jl:34-52)."""
 
     res: Callable
     jac_res: Callable
     cons: Callable
     jac_cons: Callable
     res_trial: Callable | None = None
+    jac_rowscale: Callable | None = None
+    jac_base: Callable | None = None
 
 
 def new_point(fns: Functions, x, counters: Counters):
@@ -85,7 +101,14 @@ def new_point(fns: Functions, x, counters: Counters):
     while_loop carry typing."""
     dt = x.dtype
     rx = jnp.asarray(fns.res(x), dt)
-    J = jnp.asarray(fns.jac_res(x), dt)
+    if fns.jac_rowscale is not None:
+        # Factored mode: J = diag(s) @ base.  The carry's J slot holds
+        # the (m, 1) scale; the shared base subexpression with res
+        # (e.g. W@x) is CSE'd by XLA, so this costs no extra (m, n)
+        # stream.
+        J = jnp.asarray(fns.jac_rowscale(x), dt)[:, None]
+    else:
+        J = jnp.asarray(fns.jac_res(x), dt)
     cx = jnp.asarray(fns.cons(x), dt)
     A = jnp.asarray(fns.jac_cons(x), dt)
     counters = Counters(nb_res=counters.nb_res + 1,
@@ -93,6 +116,13 @@ def new_point(fns: Functions, x, counters: Counters):
                         nb_cons=counters.nb_cons + 1,
                         nb_jaccons=counters.nb_jaccons + 1)
     return rx, J, cx, A, counters
+
+
+def _grad_f(fns: Functions, J, rx):
+    """gf = J^T rx (:2830); factored mode: base^T (s * rx)."""
+    if fns.jac_base is not None:
+        return fns.jac_base().T @ (J[:, 0] * rx)
+    return J.T @ rx
 
 
 class WorkingSetRound(NamedTuple):
@@ -130,7 +160,7 @@ def _cx_sq_sum(cx, dims: Dims, rdims):
 
 def _factor_and_gn(mask, A, cx, rx, J, gf, dims: Dims, scaling: bool,
                    eps_rank, rdims=None, tsqr_axis=None,
-                   tall_qr: str = "cholqr"):
+                   tall_qr: str = "cholqr", jac_base=None):
     """One full factorization round: gather/scale -> F_A -> (F_L11) -> GN.
 
     F_L11 is only consumed on the rank-deficient (stabilized) path, so
@@ -144,7 +174,7 @@ def _factor_and_gn(mask, A, cx, rx, J, gf, dims: Dims, scaling: bool,
                      lambda: factor_l11(F_A, act, t),
                      lambda: zeros_factor_l11(dims, F_A.R.dtype))
     gn = gn_search_direction(J, rx, act, F_A, F_L11, rankA, t, eps_rank, dims,
-                             rdims, tsqr_axis, tall_qr)
+                             rdims, tsqr_axis, tall_qr, jac_base=jac_base)
     return view, t, act, F_A, F_L11, gn
 
 
@@ -172,13 +202,14 @@ def _ws_round1(mask, A, cx, rx, J, gf, index_del_in, dims: Dims,
                F_L11, rdims=None, tsqr_axis=None,
                tall_qr: str = "cholqr",
                stall_hint=jnp.bool_(True),
-               rank_deficient_deletion: bool = True) -> WSRound1:
+               rank_deficient_deletion: bool = True,
+               jac_base=None) -> WSRound1:
     """WRKSET round 1 given stage-1 factorization results: GN direction,
     both multiplier estimates, and the round-2 decision (:686-795)."""
     rd = rdims_or(rdims, dims)
     eps_rank = tols.eps_rank
     gn = gn_search_direction(J, rx, act, F_A, F_L11, rankA, t, eps_rank, dims,
-                             rdims, tsqr_axis, tall_qr)
+                             rdims, tsqr_axis, tall_qr, jac_base=jac_base)
     lam, grad_res = first_mult_estimate(F_A, act, t, dims, scaling, eps_rank)
     s = check_constraint_deletion(rd.q, lam, act.valid, t, scaling,
                                   act.diag_scale, grad_res)
@@ -190,7 +221,8 @@ def _ws_round1(mask, A, cx, rx, J, gf, index_del_in, dims: Dims,
     # factorizations are full-rank.
     full_rank = (t == gn.rankA) & (gn.rankJ2 == jnp.minimum(rd.m, rd.n - gn.rankA))
     lam2 = second_mult_estimate(F_A, gn.JQ1, rx, J, gn.p, t, act, dims,
-                                scaling, F_J2=gn.F_J2, y_gn=gn.y)
+                                scaling, F_J2=gn.F_J2, y_gn=gn.y,
+                                jac_base=jac_base)
     lam_sel = jnp.where(full_rank, lam2, lam)
     s2 = check_constraint_deletion(rd.q, lam2, act.valid, t, scaling,
                                    act.diag_scale, jnp.asarray(0.0, rx.dtype))
@@ -244,7 +276,7 @@ def _ws_round1(mask, A, cx, rx, J, gf, index_del_in, dims: Dims,
 
 def _ws_round2(r1: WSRound1, mask, A, cx, rx, J, gf, dims: Dims,
                scaling: bool, eps_rank, rdims=None, tsqr_axis=None,
-               tall_qr: str = "cholqr"):
+               tall_qr: str = "cholqr", jac_base=None):
     """WRKSET second-order deletion round (:745-764, :773-790): drop the
     suggested constraint and re-run the full factorization chain."""
     s2c = jnp.maximum(r1.s2, 0)
@@ -252,7 +284,7 @@ def _ws_round2(r1: WSRound1, mask, A, cx, rx, J, gf, dims: Dims,
     mask2 = set1(mask, gidx, False)
     view2, t2, act2, F_A2, F_L11_2, gn2 = _factor_and_gn(
         mask2, A, cx, rx, J, gf, dims, scaling, eps_rank, rdims, tsqr_axis,
-        tall_qr)
+        tall_qr, jac_base=jac_base)
     # Compact lam2: new slot j maps to old slot j (+1 past s2).
     tmax = dims.tmax
     j = jnp.arange(tmax)
@@ -269,7 +301,8 @@ def _ws_keep(r1: WSRound1, mask):
 
 def _working_set_round(mask, A, cx, rx, J, gf, index_del_in, dims: Dims,
                        opts: Options, tols: Tols, rdims=None,
-                       stall_hint=jnp.bool_(True)) -> WorkingSetRound:
+                       stall_hint=jnp.bool_(True),
+                       jac_base=None) -> WorkingSetRound:
     """WRKSET (:686-795), see module docstring for the branch analysis."""
     scaling = opts.scaling
     eps_rank = tols.eps_rank
@@ -283,7 +316,7 @@ def _working_set_round(mask, A, cx, rx, J, gf, index_del_in, dims: Dims,
         r1 = _ws_round1(mask, A, cx, rx, J, gf, index_del_in, dims, scaling,
                         tols, view, t, act, F_A, rankA, F_L11, rdims,
                         opts.tsqr_axis, opts.tall_qr, stall_hint,
-                        opts.rank_deficient_deletion)
+                        opts.rank_deficient_deletion, jac_base=jac_base)
 
     with jax.named_scope("ws_round2"):
         (mask_o, view_o, t_o, act_o, F_A_o, F_L11_o, gn_o, lam_o, deleted,
@@ -291,7 +324,7 @@ def _working_set_round(mask, A, cx, rx, J, gf, index_del_in, dims: Dims,
             r1.do2,
             lambda _: _ws_round2(r1, mask, A, cx, rx, J, gf, dims, scaling,
                                  eps_rank, rdims, opts.tsqr_axis,
-                                 opts.tall_qr),
+                                 opts.tall_qr, jac_base=jac_base),
             lambda _: _ws_keep(r1, mask), None)
     return WorkingSetRound(mask=mask_o, view=view_o, t=t_o, act=act_o,
                            F_A=F_A_o, F_L11=F_L11_o, gn=gn_o, lam=lam_o,
@@ -310,7 +343,7 @@ def init_carry(fns: Functions, x0, dims: Dims, opts: Options,
     counters = Counters.zeros()
     rx, J, cx, A, counters = new_point(fns, x0, counters)
     mask, w0, K = init_working_set(cx, A, x0, dims, rdims)
-    gf = J.T @ rx
+    gf = _grad_f(fns, J, rx)
     prev = PrevIter(
         x=x0, rx_sum=jnp.dot(rx, rx), cx_sum=_cx_sq_sum(cx, dims, rdims),
         t=jnp.sum(mask).astype(jnp.int32),
@@ -344,10 +377,11 @@ def iterate_body(carry: Carry, fns: Functions, dims: Dims, opts: Options,
     x_diff_prev = jnp.linalg.norm(carry.prev.x - x)
     stall_hint = (carry.nb_iter >= 2) & \
         (x_diff_prev < tols.eps_x * (1.0 + jnp.linalg.norm(x)))
+    jb = fns.jac_base() if fns.jac_base is not None else None
     with jax.named_scope("wrkset"):
         wsr = _working_set_round(carry.active_mask, A, cx, rx, J, gf,
                                  carry.index_del, dims, opts, tols, rdims,
-                                 stall_hint)
+                                 stall_hint, jac_base=jb)
     t = wsr.t
     act_idx = wsr.view.active_list[:dims.tmax]
     active_cx_sum = jnp.sum(jnp.where(wsr.act.valid, cx[act_idx] ** 2, 0.0))
@@ -393,7 +427,9 @@ def _post_direction(carry: Carry, fns: Functions, dims: Dims, opts: Options,
             carry.prev, carry.K, wsr.mask, dims, opts.weight_code, counters,
             opts.linesearch_max_refine, opts.gac_max_halvings,
             opts.eucmod_max_passes, opts.scaling,
-            alive=carry.exit_code == 0)
+            alive=carry.exit_code == 0,
+            jac_base=(fns.jac_base() if fns.jac_base is not None
+                      else None))
     counters = sl.counters
 
     # --- step + new point --------------------------------------------
@@ -401,7 +437,7 @@ def _post_direction(carry: Carry, fns: Functions, dims: Dims, opts: Options,
         x_new = x + sl.alpha * ana.p
         rx_new, J_new, cx_new, A_new, counters = new_point(fns, x_new,
                                                            counters)
-        gf_new = J_new.T @ rx_new
+        gf_new = _grad_f(fns, J_new, rx_new)
     rx_sum_new = jnp.dot(rx_new, rx_new)
     restart_new = ana.error_code < 0
 

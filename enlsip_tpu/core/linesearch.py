@@ -466,7 +466,7 @@ def compute_steplength(res_trial, cons_fn, x, rx, J, cx, A,
                        prev: PrevIter, K, mask, dims: Dims, weight_code: int,
                        counters: Counters, max_refine: int, gac_max: int,
                        eucmod_max: int, scaling: bool,
-                       alive=None) -> SteplengthResult:
+                       alive=None, jac_base=None) -> SteplengthResult:
     """STPLNG (:2197-2293).
 
     ``res_trial(x, p) -> (alpha -> r(x + alpha*p))``: the directional
@@ -484,7 +484,10 @@ def compute_steplength(res_trial, cons_fn, x, rx, J, cx, A,
     dtype = x.dtype
     tmax = dims.tmax
     w_old = prev.w
-    Jp = J @ p
+    if jac_base is not None:  # factored J (Functions.jac_*): J p = s*(base p)
+        Jp = J[:, 0] * (jac_base @ p)
+    else:
+        Jp = J @ p
     Ap_full = A @ p
     JpAp = jnp.concatenate([Jp, Ap_full])
     active_Ap = act.A_act @ p                       # (tmax,)

@@ -242,7 +242,8 @@ def second_mult_estimate(F_A: FactorA, JQ1: jax.Array, rx: jax.Array,
                          J: jax.Array, p_gn: jax.Array, t: jax.Array,
                          act: ActiveConstraint, dims: Dims, scaling: bool,
                          F_J2: FactorJ2 | None = None,
-                         y_gn: jax.Array | None = None) -> jax.Array:
+                         y_gn: jax.Array | None = None,
+                         jac_base=None) -> jax.Array:
     """LEAEST (enlsip_functions.jl:514-537): solve A^T lam = J1^T (rx + J p).
 
     Note the reference calls this with its *default* eps_rank = sqrt(eps)
@@ -268,7 +269,11 @@ def second_mult_estimate(F_A: FactorA, JQ1: jax.Array, rx: jax.Array,
         # J1^T v with J1 = first t cols of JQ1: mask the (n,) RESULT,
         # not a materialized (n, m) operand copy (an (m, n) stream per
         # call on giant-m — see benchmarks/giant_m_profile.py).
-        b_raw = JQ1.T @ (rx + J @ p_gn)
+        if jac_base is not None:  # factored J: J p = s * (base p)
+            Jp_gn = J[:, 0] * (jac_base @ p_gn)
+        else:
+            Jp_gn = J @ p_gn
+        b_raw = JQ1.T @ (rx + Jp_gn)
     b_full = jnp.where(cols, b_raw, 0.0)  # (n,)
     v = solve_upper(F_A.R[:ka, :ka], b_full[:ka], prankA)
     lam = jnp.zeros(l, rx.dtype).at[:ka].set(v)[invperm(F_A.perm)]
@@ -327,11 +332,16 @@ def gn_search_direction(J: jax.Array, rx: jax.Array, act: ActiveConstraint,
                         F_A: FactorA, F_L11: FactorL11, rankA: jax.Array,
                         t: jax.Array, eps_rank: jax.Array, dims: Dims,
                         rdims=None, tsqr_axis=None,
-                        tall_qr: str = "cholqr") -> GNResult:
-    """GNSRCH (enlsip_functions.jl:206-234)."""
+                        tall_qr: str = "cholqr", jac_base=None) -> GNResult:
+    """GNSRCH (enlsip_functions.jl:206-234).
+
+    ``jac_base`` (factored-Jacobian mode, Functions.jac_rowscale/
+    jac_base): ``J`` then holds the (m, 1) row scale and the semantic
+    Jacobian is diag(J[:, 0]) @ jac_base; the WY apply streams the
+    base with the scale fused in-kernel so the dense J never exists."""
     n = dims.n
     rd = rdims_or(rdims, dims)
-    rows = J.shape[0]
+    rows = jac_base.shape[0] if jac_base is not None else J.shape[0]
     cols = jnp.arange(n)
     live_cols = cols >= rankA
     tall = rows >= 32 * n and rows >= 4096
@@ -348,9 +358,19 @@ def gn_search_direction(J: jax.Array, rx: jax.Array, act: ActiveConstraint,
         from ..ops.pallas_wy import use_wy_pallas, wy_gram_project
         V0, T0 = panels[0]
         if use_wy_pallas(rows, n, V0.shape[1], J.dtype):
-            JQ1, gram, jtrx = wy_gram_project(J, V0, T0, rx)
+            if jac_base is not None:
+                JQ1, gram, jtrx = wy_gram_project(jac_base, V0, T0, rx,
+                                                  rowscale=J[:, 0])
+            else:
+                JQ1, gram, jtrx = wy_gram_project(J, V0, T0, rx)
+        elif jac_base is not None:
+            JQ1 = J * right_q_apply(F_A.f, jac_base, allow_pallas=False)
         else:
             JQ1 = right_q_apply(F_A.f, J, allow_pallas=False)
+    elif jac_base is not None:
+        # (m, 1) scale broadcasts over the applied base.
+        JQ1 = J * right_q_apply(F_A.f, jac_base,
+                                allow_pallas=tsqr_axis is None)
     else:
         JQ1 = right_q_apply(F_A.f, J, allow_pallas=tsqr_axis is None)
     # Only n - rankA columns are live; skip the no-op steps.

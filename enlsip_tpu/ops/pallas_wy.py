@@ -83,6 +83,38 @@ def _wy_gram_kernel(j_ref, v_ref, w_ref, rx_ref, o_ref, g_ref, p_ref):
         p_ref[...] += p_blk
 
 
+def _wy_gram_scale_kernel(j_ref, v_ref, w_ref, rx_ref, s_ref, o_ref, g_ref,
+                          p_ref):
+    """Row-scaled variant: the streamed operand is the factored
+    Jacobian's BASE matrix and ``s`` holds the per-row scale
+    (J = diag(s) @ base), so JQ1 = s ⊙ (base@Q1) without ever
+    materializing J (the factored-Jacobian hook, Functions.jac_*)."""
+    i = pl.program_id(0)
+    B = j_ref[...]                                # (RB, n) base rows
+    V = v_ref[...]                                # (n, k)
+    W = w_ref[...]                                # (k, n)
+    X = _dot(B, V, (((1,), (0,))))                # (RB, k)
+    BQ1 = B - _dot(X, W, (((1,), (0,))))          # (RB, n)
+    # scale rides the same (8, RB) stripe layout as rx; one relayout
+    # turns this program's (1, RB) slice into a (RB, 1) column.
+    s_row = s_ref[pl.ds(i % 8, 1), :]             # (1, RB)
+    JQ1 = BQ1 * jnp.transpose(s_row, (1, 0))      # (RB, n)
+    o_ref[...] = JQ1
+    G_blk = _dot(JQ1, JQ1, (((0,), (0,))))        # (n, n)
+    rxb = rx_ref[pl.ds(i % 8, 1), :]              # (1, RB)
+    p_blk = _dot(rxb, JQ1, (((1,), (0,))))        # (1, n)
+
+    @pl.when(i == 0)
+    def _init():
+        g_ref[...] = G_blk
+        p_ref[...] = p_blk
+
+    @pl.when(i != 0)
+    def _accum():
+        g_ref[...] += G_blk
+        p_ref[...] += p_blk
+
+
 def _row_block(rows: int) -> int | None:
     """Largest divisor of ``rows`` that is a multiple of 8 and at most
     MAX_ROW_BLOCK (None: no usable divisor — caller falls back)."""
@@ -127,12 +159,17 @@ def wy_right_apply(J: jax.Array, V: jax.Array, T: jax.Array) -> jax.Array:
 
 
 def wy_gram_project(J: jax.Array, V: jax.Array, T: jax.Array,
-                    rx: jax.Array):
+                    rx: jax.Array, rowscale: jax.Array | None = None):
     """Fused ``(JQ1, JQ1^T JQ1, JQ1^T rx)`` in one pass over J.
 
     Returns ``(JQ1 (m, n), G (n, n), jtrx (n,))``.  The Gram is raw
     (unmasked) — exactly what :func:`ops.tsqr.cholqr_cpqr` computes
-    internally; dead-column masking stays on the (n, n) side."""
+    internally; dead-column masking stays on the (n, n) side.
+
+    ``rowscale`` (factored-Jacobian mode): ``J`` is then the constant
+    BASE matrix and the semantic Jacobian is ``diag(rowscale) @ J``;
+    the scale is applied in-kernel after the WY apply, so the dense
+    Jacobian is never materialized in HBM."""
     rows, n = J.shape
     k = V.shape[1]
     rb = _row_block(rows)
@@ -143,18 +180,24 @@ def wy_gram_project(J: jax.Array, V: jax.Array, T: jax.Array,
     # (8, RB) block satisfies the (8, 128) tiling rule and is fetched
     # once per 8 programs (see kernel comment).
     rx2 = rx.reshape(rows // rb, rb)
-    JQ1, G, jtrx = pl.pallas_call(
-        _wy_gram_kernel,
+    stripe = pl.BlockSpec((8, rb), lambda i: (i // 8, 0))
+    common = dict(
         grid=(rows // rb,),
-        in_specs=[pl.BlockSpec((rb, n), lambda i: (i, 0)),
-                  pl.BlockSpec((n, k), lambda i: (0, 0)),
-                  pl.BlockSpec((k, n), lambda i: (0, 0)),
-                  pl.BlockSpec((8, rb), lambda i: (i // 8, 0))],
         out_specs=[pl.BlockSpec((rb, n), lambda i: (i, 0)),
                    pl.BlockSpec((n, n), lambda i: (0, 0)),
                    pl.BlockSpec((1, n), lambda i: (0, 0))],
         out_shape=[jax.ShapeDtypeStruct((rows, n), J.dtype),
                    jax.ShapeDtypeStruct((n, n), J.dtype),
-                   jax.ShapeDtypeStruct((1, n), J.dtype)],
-    )(J, V, W, rx2)
+                   jax.ShapeDtypeStruct((1, n), J.dtype)])
+    base_specs = [pl.BlockSpec((rb, n), lambda i: (i, 0)),
+                  pl.BlockSpec((n, k), lambda i: (0, 0)),
+                  pl.BlockSpec((k, n), lambda i: (0, 0)), stripe]
+    if rowscale is None:
+        JQ1, G, jtrx = pl.pallas_call(
+            _wy_gram_kernel, in_specs=base_specs, **common)(J, V, W, rx2)
+    else:
+        s2 = rowscale.reshape(rows // rb, rb)
+        JQ1, G, jtrx = pl.pallas_call(
+            _wy_gram_scale_kernel, in_specs=base_specs + [stripe],
+            **common)(J, V, W, rx2, s2)
     return JQ1, G, jtrx[0]

@@ -53,6 +53,12 @@ def init_batch(fns: Functions, x0_batch: jax.Array, dims: Dims,
 
     ``rdims``: optional per-lane RDims (leaves shaped (B,)) for
     heterogeneous fused batches (see parallel/hetero.py)."""
+    if fns.jac_base is not None:
+        raise ValueError(
+            "the factored-Jacobian hook (Functions.jac_rowscale/jac_base) "
+            "is a single-solve feature (init_carry/run_chunk/solve); the "
+            "batched bodies would silently treat the (m, 1) scale as a "
+            "dense Jacobian")
     return jax.vmap(
         lambda x0, d, rd: init_carry(bind_data(fns, d), x0, dims, opts,
                                      dtype, rd)
