@@ -113,3 +113,39 @@ def test_right_q_apply_unchanged_on_cpu():
     for Vi, Ti in bq._panels(f):
         ref = ref - ((ref @ Vi) @ Ti) @ Vi.T
     np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+
+
+def test_wy_gram_scale_kernel_parity_interpret():
+    """Row-scaled variant (factored-Jacobian mode): JQ1 = s * (BQ1)."""
+    from jax.experimental import pallas as pl
+
+    from enlsip_tpu.ops.pallas_wy import _wy_gram_scale_kernel
+    rng = np.random.default_rng(5)
+    rows, n, k = 2048, 60, 24
+    V, T = _factors(rng, n, k)
+    B = jnp.asarray(rng.normal(size=(rows, n)))
+    rx = jnp.asarray(rng.normal(size=(rows,)))
+    s = jnp.asarray(rng.normal(size=(rows,)) + 2.0)
+    rb = 256
+    W = T @ V.T
+    stripe = pl.BlockSpec((8, rb), lambda i: (i // 8, 0))
+    JQ1, G, jtrx = pl.pallas_call(
+        _wy_gram_scale_kernel,
+        grid=(rows // rb,),
+        in_specs=[pl.BlockSpec((rb, n), lambda i: (i, 0)),
+                  pl.BlockSpec((n, k), lambda i: (0, 0)),
+                  pl.BlockSpec((k, n), lambda i: (0, 0)), stripe, stripe],
+        out_specs=[pl.BlockSpec((rb, n), lambda i: (i, 0)),
+                   pl.BlockSpec((n, n), lambda i: (0, 0)),
+                   pl.BlockSpec((1, n), lambda i: (0, 0))],
+        out_shape=[jax.ShapeDtypeStruct((rows, n), B.dtype),
+                   jax.ShapeDtypeStruct((n, n), B.dtype),
+                   jax.ShapeDtypeStruct((1, n), B.dtype)],
+        interpret=True,
+    )(B, V, W, rx.reshape(rows // rb, rb), s.reshape(rows // rb, rb))
+    ref = np.asarray(s)[:, None] * np.asarray(_ref(B, V, T))
+    np.testing.assert_allclose(np.asarray(JQ1), ref, rtol=1e-12, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(G), ref.T @ ref,
+                               rtol=1e-10, atol=1e-10)
+    np.testing.assert_allclose(np.asarray(jtrx[0]), ref.T @ np.asarray(rx),
+                               rtol=1e-10, atol=1e-10)
