@@ -90,3 +90,31 @@ def test_batched_rejects_factored():
     with pytest.raises(ValueError, match="single-solve"):
         solve_batched(fact, np.zeros((4, dims.n)), dims, Options(),
                       _tols(jnp.float64), dtype=jnp.float64)
+
+
+def test_factored_matches_dense_scaling_and_newton():
+    """Factored mode composed with EVSCAL row scaling and with the
+    second-derivatives (Newton-capable) configuration — the two option
+    axes that touch the working-set/direction machinery hardest."""
+    dense, fact, dims = _problem(200, 10, seed=3)
+    for opts in (Options(scaling=True, second_derivatives=False,
+                         max_iter=25),
+                 Options(second_derivatives=True, max_iter=25)):
+        dtype = jnp.float64
+        tols = _tols(dtype)
+
+        def run(fns):
+            @jax.jit
+            def go(x0, tols):
+                from enlsip_tpu.core.driver import init_carry, run_chunk
+                c = init_carry(fns, x0, dims, opts, dtype)
+                c = run_chunk(c, fns, dims, opts, tols, opts.max_iter + 1)
+                return c.x, c.exit_code, c.nb_iter
+            return go(jnp.zeros(dims.n, dtype), tols)
+
+        xd, ed, id_ = run(dense)
+        xf, ef, if_ = run(fact)
+        assert int(ed) == int(ef), (opts, int(ed), int(ef))
+        assert int(id_) == int(if_)
+        np.testing.assert_allclose(np.asarray(xf), np.asarray(xd),
+                                   rtol=1e-8, atol=1e-10)
