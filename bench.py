@@ -498,8 +498,17 @@ def bench_giant_m(dtype=jnp.float32, max_iter=8, trace_dir=None):
         x, n_iter, exit_code, t_act = gm_solve(W, Y, x0, tols)
         np.asarray(x)
         dt = time.perf_counter() - t0
+        # XLA's own peak-memory accounting of the solve executable:
+        # the factored+elided path holds no dense J and no JQ1, so the
+        # 5M-row solve fits in 4.4 GB vs 9.2 GB dense — ~2x the rows
+        # per chip before HBM exhaustion (round 5).
+        try:
+            ma = gm_solve.lower(W, Y, x0, tols).compile().memory_analysis()
+            peak_gb = round(ma.peak_memory_in_bytes / 2**30, 2)
+        except Exception:  # pragma: no cover - accounting unavailable
+            peak_gb = None
     n_iter = int(n_iter)
-    return max(n_iter, 1) / dt, n_iter, int(exit_code), int(t_act)
+    return max(n_iter, 1) / dt, n_iter, int(exit_code), int(t_act), peak_gb
 
 
 def bench_hs_suite_subprocess(dtype_name: str, timeout_s: float = 1500):
@@ -663,11 +672,12 @@ def _sec_cr5000():
 
 
 def _sec_giant_m():
-    gm_rate, gm_iters, gm_exit, gm_t = bench_giant_m()
+    gm_rate, gm_iters, gm_exit, gm_t, gm_peak = bench_giant_m()
     OUT["giant_m_5m_iters_per_sec"] = round(gm_rate, 2)
     OUT["giant_m_iters"] = gm_iters
     OUT["giant_m_exit"] = gm_exit
     OUT["giant_m_active_t"] = gm_t
+    OUT["giant_m_peak_hbm_gb"] = gm_peak
 
 
 def _sec_giant_m_marginal():

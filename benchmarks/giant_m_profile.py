@@ -82,7 +82,7 @@ def main():
     import bench
 
     trace_dir = "/tmp/gm_trace"
-    rate, n_iter, exit_code, t_act = bench.bench_giant_m(
+    rate, n_iter, exit_code, t_act, _peak = bench.bench_giant_m(
         max_iter=max_iter, trace_dir=trace_dir)
     print(f"giant-m: {rate:.2f} iters/s, n_iter={n_iter}, "
           f"exit={exit_code}, t_active={t_act}")

@@ -332,13 +332,23 @@ def gn_search_direction(J: jax.Array, rx: jax.Array, act: ActiveConstraint,
                         F_A: FactorA, F_L11: FactorL11, rankA: jax.Array,
                         t: jax.Array, eps_rank: jax.Array, dims: Dims,
                         rdims=None, tsqr_axis=None,
-                        tall_qr: str = "cholqr", jac_base=None) -> GNResult:
+                        tall_qr: str = "cholqr", jac_base=None,
+                        elide_jq1: bool = False) -> GNResult:
     """GNSRCH (enlsip_functions.jl:206-234).
 
     ``jac_base`` (factored-Jacobian mode, Functions.jac_rowscale/
     jac_base): ``J`` then holds the (m, 1) row scale and the semantic
     Jacobian is diag(J[:, 0]) @ jac_base; the WY apply streams the
-    base with the scale fused in-kernel so the dense J never exists."""
+    base with the scale fused in-kernel so the dense J never exists.
+
+    ``elide_jq1`` (driver sets it when factored AND second_derivatives
+    is off): additionally skip the (m, n) JQ1 WRITE — every consumer
+    then rides the kept Gram (j2_transform_d / second_mult_estimate
+    small-side algebra; the Newton branch, the only true JQ1 reader,
+    is statically excluded).  GNResult.JQ1 and CholQRF.M become (0, n)
+    placeholders and the d-vector embedding compacts to (n + 1,)
+    (ops/tsqr._qt_cholqr) — exact for every consumer, which reads at
+    most the leading n entries plus the complement norm."""
     n = dims.n
     rd = rdims_or(rdims, dims)
     rows = jac_base.shape[0] if jac_base is not None else J.shape[0]
@@ -358,7 +368,12 @@ def gn_search_direction(J: jax.Array, rx: jax.Array, act: ActiveConstraint,
         from ..ops.pallas_wy import use_wy_pallas, wy_gram_project
         V0, T0 = panels[0]
         if use_wy_pallas(rows, n, V0.shape[1], J.dtype):
-            if jac_base is not None:
+            if jac_base is not None and elide_jq1:
+                from ..ops.pallas_wy import wy_gram_project_noapply
+                gram, jtrx = wy_gram_project_noapply(jac_base, V0, T0, rx,
+                                                     rowscale=J[:, 0])
+                JQ1 = jnp.zeros((0, n), J.dtype)
+            elif jac_base is not None:
                 JQ1, gram, jtrx = wy_gram_project(jac_base, V0, T0, rx,
                                                   rowscale=J[:, 0])
             else:

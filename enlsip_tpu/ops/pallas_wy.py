@@ -115,6 +115,36 @@ def _wy_gram_scale_kernel(j_ref, v_ref, w_ref, rx_ref, s_ref, o_ref, g_ref,
         p_ref[...] += p_blk
 
 
+def _wy_gram_scale_noout_kernel(j_ref, v_ref, w_ref, rx_ref, s_ref, g_ref,
+                                p_ref):
+    """Row-scaled variant WITHOUT the JQ1 output: when every downstream
+    consumer rides the Gram (the factored-Jacobian GN path with
+    second_derivatives off), the (m, n) JQ1 write is pure waste — this
+    kernel streams the base ONCE and emits only the (n, n) Gram and the
+    (n,) projection."""
+    i = pl.program_id(0)
+    B = j_ref[...]                                # (RB, n) base rows
+    V = v_ref[...]                                # (n, k)
+    W = w_ref[...]                                # (k, n)
+    X = _dot(B, V, (((1,), (0,))))                # (RB, k)
+    BQ1 = B - _dot(X, W, (((1,), (0,))))          # (RB, n)
+    s_row = s_ref[pl.ds(i % 8, 1), :]             # (1, RB)
+    JQ1 = BQ1 * jnp.transpose(s_row, (1, 0))      # (RB, n)
+    G_blk = _dot(JQ1, JQ1, (((0,), (0,))))        # (n, n)
+    rxb = rx_ref[pl.ds(i % 8, 1), :]              # (1, RB)
+    p_blk = _dot(rxb, JQ1, (((1,), (0,))))        # (1, n)
+
+    @pl.when(i == 0)
+    def _init():
+        g_ref[...] = G_blk
+        p_ref[...] = p_blk
+
+    @pl.when(i != 0)
+    def _accum():
+        g_ref[...] += G_blk
+        p_ref[...] += p_blk
+
+
 def _row_block(rows: int) -> int | None:
     """Largest divisor of ``rows`` that is a multiple of 8 and at most
     MAX_ROW_BLOCK (None: no usable divisor — caller falls back)."""
@@ -201,3 +231,31 @@ def wy_gram_project(J: jax.Array, V: jax.Array, T: jax.Array,
             _wy_gram_scale_kernel, in_specs=base_specs + [stripe],
             **common)(J, V, W, rx2, s2)
     return JQ1, G, jtrx[0]
+
+
+def wy_gram_project_noapply(J: jax.Array, V: jax.Array, T: jax.Array,
+                            rx: jax.Array, rowscale: jax.Array):
+    """Factored-mode Gram/projection WITHOUT materializing JQ1: one
+    base read of HBM traffic, period.  Returns ``(G (n, n), jtrx (n,))``
+    for ``JQ1 = diag(rowscale) @ (J @ Q1)``.  Only valid when every
+    downstream consumer rides the Gram (``j2_transform_d``'s and
+    ``second_mult_estimate``'s CholQRF small-side algebra; Newton off)."""
+    rows, n = J.shape
+    k = V.shape[1]
+    rb = _row_block(rows)
+    assert rb is not None, rows
+    W = T @ V.T
+    stripe = pl.BlockSpec((8, rb), lambda i: (i // 8, 0))
+    G, jtrx = pl.pallas_call(
+        _wy_gram_scale_noout_kernel,
+        grid=(rows // rb,),
+        in_specs=[pl.BlockSpec((rb, n), lambda i: (i, 0)),
+                  pl.BlockSpec((n, k), lambda i: (0, 0)),
+                  pl.BlockSpec((k, n), lambda i: (0, 0)), stripe, stripe],
+        out_specs=[pl.BlockSpec((n, n), lambda i: (0, 0)),
+                   pl.BlockSpec((1, n), lambda i: (0, 0))],
+        out_shape=[jax.ShapeDtypeStruct((n, n), J.dtype),
+                   jax.ShapeDtypeStruct((1, n), J.dtype)],
+    )(J, V, W, rx.reshape(rows // rb, rb),
+      rowscale.reshape(rows // rb, rb))
+    return G, jtrx[0]

@@ -290,6 +290,13 @@ def qt_apply_cholqr(f: CholQRF, v: jax.Array) -> jax.Array:
 def _qt_cholqr(f: CholQRF, y: jax.Array, v_sq: jax.Array) -> jax.Array:
     from jax.scipy.linalg import solve_triangular
     m, n = f.M.shape
+    # Elided-JQ1 mode (factored-Jacobian GN path): M is a (0, n)
+    # placeholder — every consumer of the returned embedding reads at
+    # most the leading n entries plus the complement norm at [n], so a
+    # compact (n + 1,) buffer is exact (sub_search_direction slices
+    # d[:min(m, n)] = d[:n] there; the d-norms are over zeros beyond).
+    if m == 0:
+        m = n + 1
     # R1^T w = y on the live columns; dead rows/cols of R1 are zero, so
     # solve on a unit-diagonal-patched copy and re-zero.
     live = jnp.abs(jnp.diagonal(f.R1)) > 0.0
